@@ -1,0 +1,118 @@
+"""Model smoke tests + loss parity vs torch-formula oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from uda_poseestimation_tpu.models import (
+    StyleNet,
+    ema_update,
+    loss as L,
+    pose_resnet50,
+    backbone_param_mask,
+)
+
+
+def test_pose_resnet_shapes_and_state():
+    model = pose_resnet50(num_keypoints=21)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "params" in variables and "batch_stats" in variables
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 21, 16, 16)  # stride 32 backbone, x8 deconv
+    # train mode updates batch stats
+    y2, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y2.shape == (2, 21, 16, 16)
+    assert "batch_stats" in mutated
+    mask = backbone_param_mask(variables["params"])
+    leaves = jax.tree_util.tree_leaves(mask)
+    assert any(leaves) and not all(leaves)
+
+
+def test_style_net_shapes():
+    model = StyleNet()
+    content = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    style = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), content, style)
+    loss_c, loss_s, g_t = model.apply(variables, content, style, 0.7)
+    assert g_t.shape == (1, 64, 64, 3)
+    assert np.isfinite(float(loss_c)) and np.isfinite(float(loss_s))
+    out = model.apply(variables, content, style, method=StyleNet.stylize)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_joints_mse_loss_matches_torch_formula():
+    rng = np.random.RandomState(0)
+    out = rng.randn(4, 16, 8, 8).astype(np.float32)
+    tgt = rng.randn(4, 16, 8, 8).astype(np.float32)
+    w = (rng.rand(4, 16, 1) > 0.3).astype(np.float32)
+    to, tt = torch.tensor(out), torch.tensor(tgt)
+    ref = (F.mse_loss(to.reshape(4, 16, -1), tt.reshape(4, 16, -1), reduction="none")
+           * 0.5 * torch.tensor(w).view(4, 16, 1)).mean().item()
+    got = float(L.joints_mse_loss(jnp.asarray(out), jnp.asarray(tgt), jnp.asarray(w)))
+    assert abs(ref - got) < 1e-6
+    ref_none = (F.mse_loss(to.reshape(4, 16, -1), tt.reshape(4, 16, -1), reduction="none")
+                * 0.5 * torch.tensor(w).view(4, 16, 1)).mean(dim=-1).numpy()
+    got_none = np.asarray(L.joints_mse_loss(jnp.asarray(out), jnp.asarray(tgt),
+                                            jnp.asarray(w), reduction="none"))
+    np.testing.assert_allclose(got_none, ref_none, atol=1e-6)
+
+
+def test_cons_loss_matches_torch_formula():
+    rng = np.random.RandomState(1)
+    stu = rng.randn(4, 16, 8, 8).astype(np.float32)
+    tea = rng.randn(4, 16, 8, 8).astype(np.float32)
+    mask = (rng.rand(4, 16) > 0.5).astype(np.float32)
+    diff = torch.tensor(stu) - torch.tensor(tea)
+    diff = diff * torch.tensor(mask)[:, :, None, None]
+    ref = torch.mean(diff ** 2, dim=1).mean().item()
+    got = float(L.cons_loss(jnp.asarray(stu), jnp.asarray(tea), tea_mask=jnp.asarray(mask)))
+    assert abs(ref - got) < 1e-6
+
+
+def test_joints_kl_loss_matches_torch():
+    rng = np.random.RandomState(2)
+    out = rng.randn(3, 5, 6, 6).astype(np.float32)
+    tgt = np.abs(rng.randn(3, 5, 6, 6)).astype(np.float32)
+    pred = F.log_softmax(torch.tensor(out).reshape(3, 5, -1), dim=-1)
+    gt = torch.tensor(tgt).reshape(3, 5, -1)
+    gt = gt / gt.sum(dim=-1, keepdim=True)
+    ref = torch.nn.KLDivLoss(reduction="none")(pred, gt).sum(dim=-1).mean().item()
+    got = float(L.joints_kl_loss(jnp.asarray(out), jnp.asarray(tgt)))
+    assert abs(ref - got) < 1e-5
+
+
+def test_ent_loss_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 8, 8).astype(np.float32)
+    t = torch.tensor(x).reshape(2, 4, -1)
+    p = F.softmax(t, dim=2)
+    ent = (-(p * F.log_softmax(t, dim=2)).sum(dim=2) / np.log(64)).mean().item()
+    got = float(L.ent_loss(jnp.asarray(x)))
+    assert abs(ent - got) < 1e-6
+
+
+def test_coral_loss_matches_torch():
+    rng = np.random.RandomState(4)
+    src = rng.randn(6, 3, 4, 4).astype(np.float32)
+    tgt = rng.randn(6, 3, 4, 4).astype(np.float32)
+    n, c, h, w = tgt.shape
+    s, t = torch.tensor(src).view(n, -1), torch.tensor(tgt).view(n, -1)
+    tmp_s = torch.ones((1, n)) @ s
+    cs = (s.T @ s - (tmp_s.T @ tmp_s) / n) / (n - 1)
+    tmp_t = torch.ones((1, n)) @ t
+    ct = (t.T @ t - (tmp_t.T @ tmp_t) / n) / (n - 1)
+    ref = ((cs - ct).pow(2).sum().sqrt() / (4 * (c * h * w) ** 2)).item()
+    with jax.default_matmul_precision("float32"):
+        got = float(L.coral_loss(jnp.asarray(src), jnp.asarray(tgt)))
+    assert abs(ref - got) / max(abs(ref), 1e-12) < 1e-4
+
+
+def test_ema_update():
+    stu = {"a": jnp.ones((3,)) * 2.0, "b": {"c": jnp.ones((2, 2))}}
+    tea = {"a": jnp.zeros((3,)), "b": {"c": jnp.zeros((2, 2))}}
+    out = ema_update(tea, stu, alpha=0.9)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.2 * np.ones(3), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["b"]["c"]), 0.1 * np.ones((2, 2)), rtol=1e-6)

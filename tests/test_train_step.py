@@ -1,0 +1,124 @@
+"""End-to-end train-step tests on the virtual 8-device CPU mesh.
+
+Exercises the full fused adaptation step (style transfer + teacher views +
+inverse warps + occlusion + rectify + kth-value mask + EMA) with the batch
+sharded over ('data',) — the TPU-native stand-in for multi-chip execution
+(SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uda_poseestimation_tpu.models import StyleNet, pose_resnet50
+from uda_poseestimation_tpu.ops import generate_target_batch
+from uda_poseestimation_tpu.parallel import (
+    StepConfig,
+    create_state,
+    make_adapt_step,
+    make_eval_step,
+    make_mesh,
+    make_pretrain_step,
+    replicate,
+    shard_batch,
+)
+
+CFG = StepConfig(image_size=64, heatmap_size=16, sigma=2.0, k=2)
+B, K = 8, 5
+
+
+def _fake_batch(rng, with_teacher: bool):
+    kp = rng.uniform(8, 56, size=(B, K, 2)).astype(np.float32)
+    vis = np.ones((B, K), np.float32)
+    target, weight = generate_target_batch(kp, vis, (16, 16), 2, (64, 64))
+    batch = {
+        "image_s": rng.rand(B, 64, 64, 3).astype(np.float32),
+        "target_s": np.asarray(target),
+        "weight_s": np.asarray(weight),
+    }
+    if with_teacher:
+        batch.update({
+            "image_t_stu": rng.rand(B, 64, 64, 3).astype(np.float32),
+            "images_t_tea": rng.rand(CFG.k, B, 64, 64, 3).astype(np.float32),
+            "aug_param_stu": np.stack([
+                rng.uniform(-30, 30, B), np.round(rng.uniform(-4, 4, B)),
+                np.round(rng.uniform(-4, 4, B)), rng.uniform(-10, 10, B),
+                rng.uniform(-10, 10, B), rng.uniform(0.8, 1.2, B)], -1).astype(np.float32),
+            "aug_params_tea": np.stack([np.stack([
+                rng.uniform(-30, 30, B), np.round(rng.uniform(-4, 4, B)),
+                np.round(rng.uniform(-4, 4, B)), rng.uniform(-10, 10, B),
+                rng.uniform(-10, 10, B), rng.uniform(0.8, 1.2, B)], -1)
+                for _ in range(CFG.k)]).astype(np.float32),
+        })
+    else:
+        batch["image_t_style"] = rng.rand(B, 64, 64, 3).astype(np.float32)
+    return batch
+
+
+def test_pretrain_step_runs_and_updates():
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    state = create_state(model, jax.random.PRNGKey(0), CFG, batch_size=2)
+    state = replicate(state, mesh)
+    rng = np.random.RandomState(0)
+    batch = _fake_batch(rng, with_teacher=False)
+    sb = dict(batch)
+    sb["images_t_tea"] = None
+    batch = {k: v for k, v in batch.items()}
+    batch_sharded = shard_batch(batch, mesh)
+    step = make_pretrain_step(model, CFG, style_model=None)
+    p0 = jax.tree_util.tree_leaves(state.student_params)[0].copy()
+    state, metrics, y_s = step(state, None, batch_sharded,
+                               jnp.float32(1e-3), jnp.bool_(False), jnp.float32(0.5))
+    assert y_s.shape == (B, K, 16, 16)
+    assert np.isfinite(float(metrics["loss_all"]))
+    p1 = jax.tree_util.tree_leaves(state.student_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))  # params moved
+    assert int(state.step) == 1
+
+
+def test_adapt_step_full_fused():
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    style = StyleNet()
+    state = create_state(model, jax.random.PRNGKey(1), CFG, batch_size=2)
+    state = replicate(state, mesh)
+    rng = np.random.RandomState(1)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    style_params = jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(2))["params"]
+    style_params = replicate(style_params, mesh)
+    batch = shard_batch(_fake_batch(rng, with_teacher=True), mesh)
+
+    step = make_adapt_step(model, CFG, style_model=style)
+    tea0 = jax.tree_util.tree_leaves(state.teacher_params)[0].copy()
+    state, metrics, y_s = step(state, style_params, batch, jnp.float32(1e-3),
+                               jax.random.PRNGKey(3),
+                               jnp.bool_(True), jnp.float32(0.7),
+                               jnp.bool_(True), jnp.float32(0.3))
+    for name in ("loss_all", "loss_s", "loss_c", "acc_s"):
+        assert np.isfinite(float(metrics[name])), name
+    tea1 = jax.tree_util.tree_leaves(state.teacher_params)[0]
+    assert not np.allclose(np.asarray(tea0), np.asarray(tea1))  # EMA moved
+    # run a second step (state donation + re-use path)
+    batch2 = shard_batch(_fake_batch(np.random.RandomState(2), with_teacher=True), mesh)
+    state, metrics2, _ = step(state, style_params, batch2, jnp.float32(1e-3),
+                              jax.random.PRNGKey(4),
+                              jnp.bool_(False), jnp.float32(0.7),
+                              jnp.bool_(False), jnp.float32(0.3))
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics2["loss_all"]))
+
+
+def test_eval_step():
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    state = create_state(model, jax.random.PRNGKey(0), CFG, batch_size=2)
+    state = replicate(state, mesh)
+    rng = np.random.RandomState(3)
+    batch = shard_batch(_fake_batch(rng, with_teacher=False), mesh)
+    ev = make_eval_step(model)
+    y, loss = ev(state.student_params, state.student_stats,
+                 batch["image_s"], batch["target_s"], batch["weight_s"])
+    assert y.shape == (B, K, 16, 16)
+    assert np.isfinite(float(loss))

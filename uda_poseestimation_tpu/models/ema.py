@@ -1,0 +1,27 @@
+"""Mean-teacher EMA as a pure pytree map.
+
+Twin of reference utils.py:9-25 (OldWeightEMA): the teacher's *parameters*
+are an exponential moving average of the student's; BatchNorm statistics are
+NOT averaged (the reference EMA iterates ``.parameters()`` only — the
+teacher's running stats evolve through its own train-mode forwards). The
+init copies student params into the teacher.
+
+lib/models/ema.py (ModelEMA, unused upstream) is also covered: pass
+``include_stats=True`` pytrees to average buffers too.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def ema_init(student_params):
+    """Teacher init = copy of student params (OldWeightEMA.__init__)."""
+    return jax.tree_util.tree_map(lambda p: p, student_params)
+
+
+def ema_update(teacher_params, student_params, alpha: float = 0.999):
+    """teacher <- alpha * teacher + (1 - alpha) * student (OldWeightEMA.step)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: alpha * t + (1.0 - alpha) * s, teacher_params, student_params
+    )

@@ -1,0 +1,144 @@
+"""Headless ResNet backbones in Flax (NHWC, bf16-friendly).
+
+TPU-native twin of the reference's torchvision-derived backbone
+(lib/models/resnet.py:18-62): the classifier head is dropped and ``__call__``
+returns the stride-32 layer4 feature map. Architecture numerics (bottleneck
+layout, stride placement on the 3x3 conv, BN eps/momentum, downsample
+projections) follow torchvision's ResNet V1 so ImageNet weights ported from
+torchvision load bit-exact (see tools/port_torch_weights.py).
+
+Design notes (TPU-first):
+- NHWC layout end to end — XLA's preferred conv layout on TPU;
+- compute dtype is configurable (bf16 by default in the train step) with
+  float32 parameters and BN statistics;
+- no Python-level control flow on data; the whole network is one traced
+  graph that XLA fuses and tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: int = 1
+    downsample: bool = False
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 1
+    groups: int = 1
+    base_width: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = self.conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                      padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if self.downsample:
+            identity = self.conv(self.filters * self.expansion, (1, 1),
+                                 strides=(self.strides, self.strides),
+                                 use_bias=False, name="downsample_conv")(x)
+            identity = self.norm(name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    strides: int = 1
+    downsample: bool = False
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        # torchvision v1: width = filters * base_width/64 * groups; stride on 3x3
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+        identity = x
+        y = self.conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(width, (3, 3), strides=(self.strides, self.strides),
+                      padding=((1, 1), (1, 1)), feature_group_count=self.groups,
+                      use_bias=False, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if self.downsample:
+            identity = self.conv(self.filters * self.expansion, (1, 1),
+                                 strides=(self.strides, self.strides),
+                                 use_bias=False, name="downsample_conv")(x)
+            identity = self.norm(name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """Headless ResNet: NHWC in, stride-32 NHWC feature map out."""
+
+    block: ModuleDef
+    stage_sizes: Sequence[int]
+    groups: int = 1
+    width_per_group: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def out_features(self) -> int:
+        return 512 * self.block.expansion
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                 use_bias=False, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        filters = 64
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for i in range(num_blocks):
+                strides = 2 if (stage > 0 and i == 0) else 1
+                # projection shortcut when spatial or channel dims change
+                # (torchvision: stage0 BasicBlock has none, Bottleneck does)
+                downsample = i == 0 and (strides != 1 or self.block.expansion != 1)
+                x = self.block(filters=filters, strides=strides, downsample=downsample,
+                               conv=conv, norm=norm, groups=self.groups,
+                               base_width=self.width_per_group,
+                               name=f"layer{stage + 1}_{i}")(x)
+            filters *= 2
+        return x
+
+
+def _make(block, stage_sizes, **kwargs) -> Callable[..., ResNet]:
+    def ctor(dtype=jnp.float32, **extra):
+        return ResNet(block=block, stage_sizes=stage_sizes, dtype=dtype, **kwargs, **extra)
+    return ctor
+
+
+resnet18 = _make(BasicBlock, [2, 2, 2, 2])
+resnet34 = _make(BasicBlock, [3, 4, 6, 3])
+resnet50 = _make(Bottleneck, [3, 4, 6, 3])
+resnet101 = _make(Bottleneck, [3, 4, 23, 3])
+resnet152 = _make(Bottleneck, [3, 8, 36, 3])
+resnext50_32x4d = _make(Bottleneck, [3, 4, 6, 3], groups=32, width_per_group=4)
+resnext101_32x8d = _make(Bottleneck, [3, 4, 23, 3], groups=32, width_per_group=8)
+wide_resnet50_2 = _make(Bottleneck, [3, 4, 6, 3], width_per_group=128)
+wide_resnet101_2 = _make(Bottleneck, [3, 4, 23, 3], width_per_group=128)

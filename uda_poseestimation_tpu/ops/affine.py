@@ -1,0 +1,261 @@
+"""Batched affine warps with torchvision-exact sampling semantics.
+
+The reference trainers inverse-warp teacher/student heatmaps and
+forward/backward-warp occluded images with *per-sample Python loops* of
+chained ``torchvision.transforms.functional.affine`` calls
+(train_human.py:359-372, 376-413, 418-423). Here the whole batch is warped by
+one vectorized gather that XLA fuses on TPU; no host loop, no per-sample
+dispatch.
+
+Sampling semantics are matched to torchvision's tensor path exactly:
+
+- inverse-matrix parameterization of ``_get_inverse_affine_matrix`` with
+  center (0, 0) for tensors: RSS(angle, shear) as in
+  lib/transforms/keypoint_detection.py:147-150, inverted and scaled by
+  1/scale, translation folded in;
+- the affine grid of ``_gen_affine_grid`` + ``grid_sample`` with
+  ``align_corners=False``: output pixel (i, j) maps through centered coords
+  x_c = j - (W-1)/2, y_c = i - (H-1)/2 to input pixel coords
+  (m0*x_c + m1*y_c + m2 + (W-1)/2, m3*x_c + m4*y_c + m5 + (H-1)/2);
+- ``nearest`` resampling (torchvision's default, used by the trainers on all
+  heatmap/image warps) rounds half-to-even (std::nearbyint), which is exactly
+  ``jnp.round``; out-of-bounds samples are zero-filled;
+- ``bilinear`` uses zero-padded corner weights like grid_sample.
+
+``aug_param`` convention (reference lib/transforms/keypoint_detection.py:139):
+a dataset augmentation ``affine(angle, shear, translate, scale)`` stores
+``aug_param = (-angle, -tx, -ty, -shear_x, -shear_y, 1/scale)`` — the
+parameters the trainer later feeds to the inverse warp chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rss_coeffs(angle_deg, shear_x_deg, shear_y_deg):
+    """Forward rotation-shear matrix coefficients (a, b, c, d).
+
+    Matches torchvision's RSS decomposition, which the reference also uses for
+    its keypoint math (lib/transforms/keypoint_detection.py:147-150):
+        [x'] = scale * [a b] [x]
+        [y']           [c d] [y]
+    """
+    rot = jnp.deg2rad(angle_deg)
+    sx = jnp.deg2rad(shear_x_deg)
+    sy = jnp.deg2rad(shear_y_deg)
+    a = jnp.cos(rot - sy) / jnp.cos(sy)
+    b = -jnp.cos(rot - sy) * jnp.tan(sx) / jnp.cos(sy) - jnp.sin(rot)
+    c = jnp.sin(rot - sy) / jnp.cos(sy)
+    d = -jnp.sin(rot - sy) * jnp.tan(sx) / jnp.cos(sy) + jnp.cos(rot)
+    return a, b, c, d
+
+
+def inverse_affine_coeffs(angle_deg, trans_x, trans_y, shear_x_deg, shear_y_deg, scale,
+                          center=(0.0, 0.0)):
+    """The 6 output->input matrix coefficients of torchvision's inverse affine.
+
+    Equivalent to ``_get_inverse_affine_matrix(center, angle, translate,
+    scale, shear)``. All arguments may be scalars or equal-shape arrays
+    (vectorized over the batch). Returns an array (..., 6).
+    """
+    a, b, c, d = rss_coeffs(angle_deg, shear_x_deg, shear_y_deg)
+    inv_scale = 1.0 / scale
+    m0 = d * inv_scale
+    m1 = -b * inv_scale
+    m3 = -c * inv_scale
+    m4 = a * inv_scale
+    cx, cy = center
+    # inverse of T(center) @ T(translate) @ RSS @ T(-center)
+    m2 = m0 * (-cx - trans_x) + m1 * (-cy - trans_y) + cx
+    m5 = m3 * (-cx - trans_x) + m4 * (-cy - trans_y) + cy
+    return jnp.stack(jnp.broadcast_arrays(m0, m1, m2, m3, m4, m5), axis=-1)
+
+
+def compose_inverse_coeffs(first, second):
+    """Compose two inverse (output->input) maps for sequentially-applied warps.
+
+    If an image is warped by A then by B, the combined output->input map is
+    invA ∘ invB. ``first``/``second`` are (..., 6) coeff arrays for A and B.
+    """
+    a0, a1, a2, a3, a4, a5 = jnp.moveaxis(first, -1, 0)
+    b0, b1, b2, b3, b4, b5 = jnp.moveaxis(second, -1, 0)
+    # p_mid = B_inv p_out ; p_in = A_inv p_mid
+    c0 = a0 * b0 + a1 * b3
+    c1 = a0 * b1 + a1 * b4
+    c2 = a0 * b2 + a1 * b5 + a2
+    c3 = a3 * b0 + a4 * b3
+    c4 = a3 * b1 + a4 * b4
+    c5 = a3 * b2 + a4 * b5 + a5
+    return jnp.stack([c0, c1, c2, c3, c4, c5], axis=-1)
+
+
+def _grid(h: int, w: int):
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    return ys - (h - 1) / 2.0, xs - (w - 1) / 2.0
+
+
+def _sample_nearest(img, x_in, y_in):
+    c, h, w = img.shape
+    ix = jnp.round(x_in).astype(jnp.int32)
+    iy = jnp.round(y_in).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    out = jnp.take(img.reshape(c, h * w), idx.reshape(-1), axis=1).reshape(c, h, w)
+    return jnp.where(valid[None], out, 0.0)
+
+
+def _sample_bilinear(img, x_in, y_in):
+    c, h, w = img.shape
+    x0 = jnp.floor(x_in)
+    y0 = jnp.floor(y_in)
+    wx1 = x_in - x0
+    wy1 = y_in - y0
+    flat = img.reshape(c, h * w)
+
+    def corner(xc, yc, wgt):
+        xi = xc.astype(jnp.int32)
+        yi = yc.astype(jnp.int32)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take(flat, idx.reshape(-1), axis=1).reshape(c, h, w)
+        return vals * (wgt * valid.astype(jnp.float32))[None]
+
+    return (
+        corner(x0, y0, (1 - wx1) * (1 - wy1))
+        + corner(x0 + 1, y0, wx1 * (1 - wy1))
+        + corner(x0, y0 + 1, (1 - wx1) * wy1)
+        + corner(x0 + 1, y0 + 1, wx1 * wy1)
+    )
+
+
+def warp_affine(imgs, coeffs, mode: str = "nearest"):
+    """Warp a batch of channel-leading images by per-sample inverse coeffs.
+
+    Args:
+        imgs: (B, C, H, W) float array.
+        coeffs: (B, 6) inverse (output->input) matrix coefficients in
+            centered coordinates (see inverse_affine_coeffs).
+        mode: 'nearest' (torchvision default) or 'bilinear'.
+
+    Returns:
+        (B, C, H, W) warped images, zero-filled outside the source.
+    """
+    _, _, h, w = imgs.shape
+    y_c, x_c = _grid(h, w)
+    sample = _sample_nearest if mode == "nearest" else _sample_bilinear
+
+    def one(img, m):
+        x_in = m[0] * x_c + m[1] * y_c + m[2] + (w - 1) / 2.0
+        y_in = m[3] * x_c + m[4] * y_c + m[5] + (h - 1) / 2.0
+        return sample(img, x_in, y_in)
+
+    return jax.vmap(one)(imgs, coeffs)
+
+
+def chain_coeffs(angle, tx, ty, shx, shy, scale):
+    """Inverse coeffs for the trainer's 3-step warp chain, per sample.
+
+    The reference applies three sequential tF.affine calls
+    (train_human.py:366-368): translate-only, then rotate+scale, then shear.
+    Returns the three (B, 6) coeff arrays.
+    """
+    zero = jnp.zeros_like(jnp.asarray(angle, jnp.float32))
+    one = jnp.ones_like(zero)
+    c1 = inverse_affine_coeffs(zero, tx, ty, zero, zero, one)
+    c2 = inverse_affine_coeffs(angle, zero, zero, zero, zero, scale)
+    c3 = inverse_affine_coeffs(zero, zero, zero, shx, shy, one)
+    return c1, c2, c3
+
+
+def warp_affine_chain(imgs, angle, tx, ty, shx, shy, scale,
+                      mode: str = "nearest", fused: bool = False):
+    """Apply the trainer's translate -> rotate/scale -> shear warp chain.
+
+    With ``fused=False`` (default) this performs three sequential resamples,
+    bit-matching the reference's three tF.affine calls (nearest resampling is
+    not composable, so exact parity requires the chain). ``fused=True``
+    composes the three maps into a single resample — cheaper and smoother,
+    available as a deliberate deviation.
+
+    Args:
+        imgs: (B, C, H, W).
+        angle, tx, ty, shx, shy, scale: per-sample (B,) parameters. ``tx/ty``
+            are in *output pixel units* (callers divide image-scale
+            translations by the image/heatmap ratio as the trainers do).
+    """
+    c1, c2, c3 = chain_coeffs(angle, tx, ty, shx, shy, scale)
+    if fused:
+        coeffs = compose_inverse_coeffs(c1, compose_inverse_coeffs(c2, c3))
+        return warp_affine(imgs, coeffs, mode)
+    out = warp_affine(imgs, c1, mode)
+    out = warp_affine(out, c2, mode)
+    return warp_affine(out, c3, mode)
+
+
+def inverse_warp_heatmaps(heatmaps, aug_param, ratio: float,
+                          mode: str = "nearest", fused: bool = False):
+    """Undo a dataset-side affine augmentation on predicted heatmaps.
+
+    Implements the reconstruction at train_human.py:359-372/418-423: the
+    stored ``aug_param`` (already the inverse parameters) is applied as the
+    translate -> rotate/scale -> shear chain, with translations scaled from
+    image to heatmap resolution by ``ratio``.
+
+    Args:
+        heatmaps: (B, K, h, w).
+        aug_param: (B, 6) array (angle, tx, ty, shear_x, shear_y, scale) —
+            i.e. the negated/reciprocal parameters stored by the dataset.
+        ratio: image_size / heatmap_size.
+    """
+    angle, tx, ty, shx, shy, scale = jnp.moveaxis(jnp.asarray(aug_param, jnp.float32), -1, 0)
+    return warp_affine_chain(heatmaps, angle, tx / ratio, ty / ratio, shx, shy, scale,
+                             mode=mode, fused=fused)
+
+
+def forward_warp_images(imgs, aug_param, ratio: float, mode: str = "nearest",
+                        fused: bool = False):
+    """Warp images *forward* by aug_param — used before occlusion pasting.
+
+    Matches train_human.py:388-390 (same chain as inverse_warp_heatmaps but on
+    full-resolution images, translations divided by ``ratio`` as the reference
+    does even at image scale).
+    """
+    return inverse_warp_heatmaps(imgs, aug_param, ratio, mode=mode, fused=fused)
+
+
+def backward_warp_images(imgs, aug_param, ratio: float, mode: str = "nearest"):
+    """Single-affine inverse of forward_warp_images (train_human.py:412).
+
+    The reference warps occluded images back with ONE tF.affine call carrying
+    all negated parameters simultaneously — not a chain — so composition
+    order differs; reproduced exactly.
+    """
+    angle, tx, ty, shx, shy, scale = jnp.moveaxis(jnp.asarray(aug_param, jnp.float32), -1, 0)
+    coeffs = inverse_affine_coeffs(-angle, -tx / ratio, -ty / ratio, -shx, -shy, 1.0 / scale)
+    return warp_affine(imgs, coeffs, mode)
+
+
+def affine_keypoints(keypoints, angle, shear_x, shear_y, trans_x, trans_y, scale,
+                     size: Tuple[float, float]):
+    """Forward keypoint transform matching the dataset-side affine.
+
+    JAX twin of lib/transforms/keypoint_detection.py:137-167: rotate/shear/
+    scale about the image center, then translate.
+
+    Args:
+        keypoints: (..., K, 2).
+        size: (width, height) of the image.
+    """
+    a, b, c, d = rss_coeffs(angle, shear_x, shear_y)
+    w, h = size
+    x = keypoints[..., 0] - w / 2.0
+    y = keypoints[..., 1] - h / 2.0
+    xn = scale * (a * x + b * y) + w / 2.0 + trans_x
+    yn = scale * (c * x + d * y) + h / 2.0 + trans_y
+    return jnp.stack([xn, yn], axis=-1)

@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers (data parallelism over the batch axis).
+
+The reference's only distribution strategy is single-process
+``torch.nn.DataParallel`` over local GPUs (train_human.py:145-148). The
+TPU-native first-class replacement (SURVEY.md §2.5) is GSPMD data
+parallelism: one jitted train step with the batch sharded over a 1-D
+``('data',)`` mesh, parameters replicated, and gradient/metric reductions
+emitted by XLA as ICI collectives — no hand-written NCCL-style code.
+
+The mesh axis layout leaves room for model axes later (the models here are
+45-60M-param CNNs; batch is the only scalable axis, as upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis sharding for an ndim array."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+STACKED_VIEW_KEYS = ("images_t_tea", "aug_params_tea", "targets_tea", "weights_tea")
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
+                stacked_keys=STACKED_VIEW_KEYS):
+    """device_put a pytree of host arrays with the batch axis sharded.
+
+    Dict keys in ``stacked_keys`` hold per-view stacks shaped (k, B, ...) —
+    mirroring the reference's k teacher views — and are sharded on axis 1.
+    """
+    def put(key_path, x):
+        is_stacked = any(getattr(p, "key", None) in stacked_keys for p in key_path)
+        if is_stacked and np.ndim(x) >= 2:
+            spec = P(None, axis_name, *([None] * (np.ndim(x) - 2)))
+        else:
+            spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """device_put a pytree fully replicated (params, optimizer state)."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

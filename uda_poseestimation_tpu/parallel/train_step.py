@@ -1,0 +1,360 @@
+"""Fused, sharded train/eval steps — the centerpiece of the TPU design.
+
+One jitted function per phase replaces the reference's per-iteration Python
+orchestration (train_human.py:244-458):
+
+- ``pretrain``: optional s2t AdaIN stylization + student forward + JointsMSE
+  + Adam/SGD update;
+- ``adapt``: s2t/t2s stylization, k teacher forwards, batched inverse-affine
+  heatmap reconstruction, vectorized adaptive keypoint occlusion, student
+  forwards, rectify + global kth-value confidence masking, consistency loss,
+  student update, mean-teacher EMA — all inside a single XLA program;
+- ``eval``: forward + loss for the validate loop.
+
+Everything the reference does with per-sample Python loops over GPU tensors
+(warp chains :359-372/418-423, occlusion :376-413, rectify utils.py:77-109)
+is re-expressed as batched masked ops so the step stays shape-stable and
+jittable. Batch arrays are sharded over the ('data',) mesh axis; parameters
+are replicated; XLA inserts the gradient all-reduce (GSPMD), which rides ICI
+on a real slice. The global kth-value mask threshold is computed on the
+logically-global activation tensor, matching the reference's whole-batch
+semantics (train_human.py:429) across shards.
+
+Mixed precision: model compute runs in bf16 (TPU-native; replaces the
+reference's CUDA AMP + GradScaler — no loss scaling needed on bf16), losses
+and statistics in f32.
+
+Parity notes (vs train_human.py / train_animal.py):
+- teacher and student run BatchNorm in train mode during adaptation
+  (:320-321); running stats update through those forwards; the EMA covers
+  parameters only (utils.py:9-25);
+- styled images are clamped to per-domain normalized bounds
+  (recover_min/max, train_human.py:32-33 vs train_animal.py:34-35);
+- ``tea_mask = tea_mask * activates > mask_thresh`` parses as
+  ``(tea_mask * activates) > thresh`` (:430) — with tea_mask == 1 that is
+  elementwise ``activates > thresh``; preserved;
+- per-iteration Bernoulli draws (s2t/t2s) and alphas are fed in as scalars
+  so the host keeps the reference's one-draw-per-iteration RNG structure;
+  per-sample occlusion randomness uses jax.random inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.ema import ema_update
+from ..models.loss import cons_loss, joints_mse_loss
+from ..models.style_net import StyleNet
+from ..ops.affine import backward_warp_images, forward_warp_images, inverse_warp_heatmaps
+from ..ops.heatmap import get_max_preds, rectify
+from ..ops.pck import keypoint_pck_accuracy
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static (trace-time) configuration — mirrors the trainer flags."""
+
+    image_size: int = 256
+    heatmap_size: int = 64
+    sigma: float = 2.0
+    k: int = 1
+    lambda_c: float = 1.0
+    teacher_alpha: float = 0.999
+    mask_ratio: float = 0.5
+    occlude_rate: float = 0.5
+    occlude_thresh: float = 0.9
+    occlude_size: int = 10
+    # styled-image clamp = normalized [0,1] bounds; human/hand values
+    # (train_human.py:32-33). Animal trainers override (train_animal.py:34-35).
+    recover_min: Tuple[float, float, float] = (-2.1179, -2.0357, -1.8044)
+    recover_max: Tuple[float, float, float] = (2.2489, 2.4285, 2.64)
+    use_sgd: bool = False
+    # True -> reproduce the reference's 3 chained nearest resamples exactly;
+    # False -> single fused resample (faster, smoother; deliberate deviation).
+    exact_warp_chain: bool = True
+
+    @property
+    def ratio(self) -> float:
+        return self.image_size / self.heatmap_size
+
+
+@flax.struct.dataclass
+class UDAState:
+    """Replicated training state (student + teacher + optimizer)."""
+
+    step: jnp.ndarray
+    student_params: Any
+    student_stats: Any
+    teacher_params: Any
+    teacher_stats: Any
+    opt_state: Any
+
+
+def make_tx(use_sgd: bool = False) -> optax.GradientTransformation:
+    """Gradient direction transform (lr applied separately per step).
+
+    Matches torch Adam(lr)/SGD(momentum=0.9, wd=1e-4, nesterov)
+    (train_human.py:136-139) including torch's update ordering.
+    """
+    if use_sgd:
+        return optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.trace(decay=0.9, nesterov=True),
+        )
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def create_state(model, rng, cfg: StepConfig, batch_size: int = 2) -> UDAState:
+    """Initialize student/teacher (teacher = copy of student, OldWeightEMA init)."""
+    x = jnp.zeros((batch_size, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(rng)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    tx = make_tx(cfg.use_sgd)
+    return UDAState(
+        step=jnp.zeros((), jnp.int32),
+        student_params=params,
+        student_stats=stats,
+        # real copies: the teacher must not alias student buffers (the jitted
+        # steps donate the state, and aliased buffers break donation)
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        teacher_stats=jax.tree_util.tree_map(jnp.copy, stats),
+        opt_state=tx.init(params),
+    )
+
+
+def _clamp_styled(x, cfg: StepConfig):
+    lo = jnp.asarray(cfg.recover_min, x.dtype)
+    hi = jnp.asarray(cfg.recover_max, x.dtype)
+    return jnp.maximum(jnp.minimum(x, hi), lo)
+
+
+def _apply_updates(params, direction, lr):
+    return jax.tree_util.tree_map(lambda p, d: p - lr * d, params, direction)
+
+
+def _maybe_stylize(style_model, style_params, content, style, alpha, do_it, cfg):
+    """lax.cond-gated AdaIN transfer + clamp (skips compute when not drawn)."""
+
+    def yes(c):
+        g = style_model.apply({"params": style_params}, c, style, alpha,
+                              method=StyleNet.stylize)
+        return _clamp_styled(g, cfg)
+
+    return jax.lax.cond(do_it, yes, lambda c: c, content)
+
+
+def _nchw(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive keypoint occlusion, vectorized (train_human.py:376-413)
+# ---------------------------------------------------------------------------
+
+def _paste_patch(img, left, right, upper, bottom, left_src, upper_src):
+    """img (C, H, W): copy rows [left_src, ...) / cols [upper_src, ...) onto
+    the rectangle rows [left, right) x cols [upper, bottom)."""
+    c, h, w = img.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    mask = (rows >= left) & (rows < right) & (cols >= upper) & (cols < bottom)
+    src_r = jnp.clip(rows - left + left_src, 0, h - 1)
+    src_c = jnp.clip(cols - upper + upper_src, 0, w - 1)
+    idx = (src_r * w + src_c).reshape(-1)
+    src_vals = jnp.take(img.reshape(c, -1), idx, axis=1).reshape(c, h, w)
+    return jnp.where(mask[None], src_vals, img)
+
+
+def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepConfig):
+    """Paste random patches over confident predicted keypoints.
+
+    Reference semantics per sample (train_human.py:376-413): with probability
+    occlude_rate, and only if some keypoint's confidence >= occlude_thresh,
+    forward-warp the student view into teacher-aligned space, paste a random
+    patch of the same image over one uniformly-chosen confident keypoint
+    (box +-occlude_size at image scale), and warp back with a single inverse
+    affine. Vectorized: all samples are warped/pasted, the per-sample
+    Bernoulli/eligibility mask selects the result.
+    """
+    b, k = y_t_tea_recon.shape[:2]
+    s = cfg.image_size
+    conf = jnp.max(y_t_tea_recon, axis=(2, 3))  # (B, K)
+    preds, _ = get_max_preds(y_t_tea_recon)  # (B, K, 2) (x, y), already masked
+    conf_table = conf >= cfg.occlude_thresh
+
+    k_gate, k_choice, k_src1, k_src2 = jax.random.split(rng, 4)
+    u = jax.random.uniform(k_gate, (b,))
+    do = (conf_table.sum(axis=1) > 0) & (u <= cfg.occlude_rate)
+
+    # uniform choice among confident keypoints (Gumbel-max over the mask)
+    gumbel = jax.random.gumbel(k_choice, (b, k))
+    choice = jnp.argmax(jnp.where(conf_table, gumbel, -jnp.inf), axis=1)  # (B,)
+    pos = jnp.take_along_axis(preds, choice[:, None, None].repeat(2, -1), axis=1)[:, 0]
+    pos = (pos * cfg.ratio).astype(jnp.int32)  # (B, 2) (x, y) image scale
+
+    # rectangle: rows from y (pos[:,1]) -> [left, right), cols from x -> [upper, bottom)
+    left = jnp.maximum(pos[:, 1] - cfg.occlude_size, 0)
+    right = jnp.minimum(pos[:, 1] + cfg.occlude_size, s)
+    upper = jnp.maximum(pos[:, 0] - cfg.occlude_size, 0)
+    bottom = jnp.minimum(pos[:, 0] + cfg.occlude_size, s)
+
+    u1 = jax.random.uniform(k_src1, (b,))
+    u2 = jax.random.uniform(k_src2, (b,))
+    left_src = jnp.floor(u1 * (s - (right - left) + 1).astype(jnp.float32)).astype(jnp.int32)
+    upper_src = jnp.floor(u2 * (s - (bottom - upper) + 1).astype(jnp.float32)).astype(jnp.int32)
+
+    imgs = _nchw(x_t_stu_nhwc)
+    warped = forward_warp_images(imgs, aug_param_stu, cfg.ratio,
+                                 fused=not cfg.exact_warp_chain)
+    pasted = jax.vmap(_paste_patch)(warped, left, right, upper, bottom, left_src, upper_src)
+    back = backward_warp_images(pasted, aug_param_stu, cfg.ratio)
+    out = jnp.where(do[:, None, None, None], back, imgs)
+    return _nhwc(out)
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+def make_pretrain_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None):
+    """Source-only supervised step (train_human.py:244-302)."""
+    tx = make_tx(cfg.use_sgd)
+
+    def step_fn(state: UDAState, style_params, batch, lr, do_s2t, alpha):
+        x_s = batch["image_s"]
+        if style_model is not None:
+            x_s = _maybe_stylize(style_model, style_params, x_s,
+                                 batch["image_t_style"], alpha, do_s2t, cfg)
+        label_s = batch["target_s"]
+        weight_s = batch["weight_s"]
+
+        def loss_fn(params):
+            y_s, mut = model.apply(
+                {"params": params, "batch_stats": state.student_stats},
+                x_s, train=True, mutable=["batch_stats"])
+            loss = joints_mse_loss(y_s, label_s, weight_s[..., 0])
+            return loss, (y_s, mut["batch_stats"])
+
+        (loss, (y_s, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student_params)
+        direction, new_opt = tx.update(grads, state.opt_state, state.student_params)
+        new_params = _apply_updates(state.student_params, direction, lr)
+        _, acc_avg, acc_cnt, _ = keypoint_pck_accuracy(y_s, label_s)
+        metrics = {"loss_all": loss, "loss_s": loss, "acc_s": acc_avg,
+                   "acc_cnt": acc_cnt}
+        new_state = state.replace(step=state.step + 1, student_params=new_params,
+                                  student_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics, y_s
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None):
+    """Mean-teacher adaptation step (train_human.py:305-458), fully fused."""
+    tx = make_tx(cfg.use_sgd)
+
+    def step_fn(state: UDAState, style_params, batch, lr, rng,
+                do_s2t, alpha_s2t, do_t2s, alpha_t2s):
+        x_s = batch["image_s"]          # (B, H, W, 3)
+        x_s_ori = x_s
+        x_t_stu = batch["image_t_stu"]  # (B, H, W, 3)
+        x_t_teas = batch["images_t_tea"]  # (k, B, H, W, 3)
+        aug_stu = batch["aug_param_stu"]  # (B, 6)
+        aug_teas = batch["aug_params_tea"]  # (k, B, 6)
+        label_s = batch["target_s"]
+        weight_s = batch["weight_s"]
+
+        # --- no-grad region: style transfer, teacher, occlusion -----------
+        if style_model is not None:
+            x_s = _maybe_stylize(style_model, style_params, x_s, x_t_teas[0],
+                                 alpha_s2t, do_s2t, cfg)
+            x_t_teas = jax.lax.cond(
+                do_t2s,
+                lambda xs: jnp.stack([
+                    _clamp_styled(style_model.apply({"params": style_params}, xs[i],
+                                                    x_s_ori, alpha_t2s,
+                                                    method=StyleNet.stylize), cfg)
+                    for i in range(cfg.k)]),
+                lambda xs: xs,
+                x_t_teas)
+
+        # k teacher forwards in train mode; running stats chain through views
+        tea_stats = state.teacher_stats
+        recons = []
+        for i in range(cfg.k):
+            y_tea, mut = model.apply(
+                {"params": state.teacher_params, "batch_stats": tea_stats},
+                x_t_teas[i], train=True, mutable=["batch_stats"])
+            tea_stats = mut["batch_stats"]
+            recons.append(inverse_warp_heatmaps(y_tea, aug_teas[i], cfg.ratio,
+                                                fused=not cfg.exact_warp_chain))
+        y_t_tea_recon = jnp.mean(jnp.stack(recons), axis=0)
+        y_t_tea_recon = jax.lax.stop_gradient(y_t_tea_recon)
+
+        if cfg.occlude_rate > -1:
+            x_t_stu = _occlude_batch(rng, x_t_stu, y_t_tea_recon, aug_stu, cfg)
+
+        # confidence mask: global kth-value over the (B*K) activations
+        # (train_human.py:427-430). jnp.sort on the logically-global array
+        # keeps whole-batch semantics under sharding.
+        activates = jnp.max(y_t_tea_recon, axis=(2, 3))  # (B, K)
+        y_t_tea_rect = rectify(y_t_tea_recon, cfg.sigma)
+        numel = activates.size
+        kth = max(int(cfg.mask_ratio * numel), 1)  # torch kthvalue is 1-indexed
+        mask_thresh = jnp.sort(activates.reshape(-1))[kth - 1]
+        tea_mask = activates > mask_thresh  # (B, K) — (1 * activates) > thresh
+
+        # --- grad region: student forwards + losses ------------------------
+        def loss_fn(params):
+            y_s, mut1 = model.apply(
+                {"params": params, "batch_stats": state.student_stats},
+                x_s, train=True, mutable=["batch_stats"])
+            y_t_stu, mut2 = model.apply(
+                {"params": params, "batch_stats": mut1["batch_stats"]},
+                x_t_stu, train=True, mutable=["batch_stats"])
+            y_t_stu_recon = inverse_warp_heatmaps(y_t_stu, aug_stu, cfg.ratio,
+                                                  fused=not cfg.exact_warp_chain)
+            loss_s = joints_mse_loss(y_s, label_s, weight_s[..., 0])
+            loss_c = cons_loss(y_t_stu_recon, y_t_tea_rect, tea_mask=tea_mask)
+            loss_all = loss_s + cfg.lambda_c * loss_c
+            return loss_all, (y_s, loss_s, loss_c, mut2["batch_stats"])
+
+        (loss_all, (y_s, loss_s, loss_c, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.student_params)
+        direction, new_opt = tx.update(grads, state.opt_state, state.student_params)
+        new_params = _apply_updates(state.student_params, direction, lr)
+        new_teacher = ema_update(state.teacher_params, new_params, cfg.teacher_alpha)
+
+        _, acc_avg, acc_cnt, _ = keypoint_pck_accuracy(y_s, label_s)
+        metrics = {"loss_all": loss_all, "loss_s": loss_s, "loss_c": loss_c,
+                   "acc_s": acc_avg, "acc_cnt": acc_cnt}
+        new_state = state.replace(
+            step=state.step + 1,
+            student_params=new_params, student_stats=new_stats,
+            teacher_params=new_teacher, teacher_stats=tea_stats,
+            opt_state=new_opt)
+        return new_state, metrics, y_s
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model):
+    """Inference forward + loss (train_human.py:461-500 inner loop)."""
+
+    def eval_fn(params, stats, x, label, weight):
+        y = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+        loss = joints_mse_loss(y, label, weight[..., 0])
+        return y, loss
+
+    return jax.jit(eval_fn)
