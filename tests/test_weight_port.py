@@ -1,0 +1,195 @@
+"""Numeric parity of ported torch weights: a torch oracle of the reference's
+PoseResNet (torchvision-equivalent Bottleneck ResNet-50 + Simple-Baseline
+deconv head) and VGG/decoder is built with plain torch.nn, its state_dict is
+converted through tools.port_torch_weights, and the Flax forward must match
+the torch forward in eval mode."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import jax
+import jax.numpy as jnp
+
+from tools.port_torch_weights import (
+    convert_decoder,
+    convert_pose_resnet,
+    convert_vgg_encoder,
+)
+from uda_poseestimation_tpu.models import Decoder, StyleNet, VGGEncoder, pose_resnet50
+
+
+# --- torch oracle: torchvision-style Bottleneck ResNet-50 (v1) --------------
+
+class TorchBottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet50Headless(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, 3)
+        self.layer2 = self._make_layer(128, 4, stride=2)
+        self.layer3 = self._make_layer(256, 6, stride=2)
+        self.layer4 = self._make_layer(512, 3, stride=2)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = tnn.Sequential(
+                tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+        layers = [TorchBottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            layers.append(TorchBottleneck(self.inplanes, planes))
+        return tnn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+class TorchPoseResNet(tnn.Module):
+    def __init__(self, num_keypoints):
+        super().__init__()
+        self.backbone = TorchResNet50Headless()
+        layers = []
+        in_c = 2048
+        for _ in range(3):
+            layers += [tnn.ConvTranspose2d(in_c, 256, 4, stride=2, padding=1, bias=False),
+                       tnn.BatchNorm2d(256), tnn.ReLU(inplace=True)]
+            in_c = 256
+        self.upsampling = tnn.Sequential(*layers)
+        self.head = tnn.Conv2d(256, num_keypoints, 1)
+
+    def forward(self, x):
+        return self.head(self.upsampling(self.backbone(x)))
+
+
+def _randomize_bn_stats(module, gen):
+    for m in module.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+
+
+def test_pose_resnet_port_matches_torch():
+    gen = torch.Generator().manual_seed(0)
+    ref = TorchPoseResNet(num_keypoints=5)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        _randomize_bn_stats(ref, gen)
+    ref.eval()
+
+    x = torch.randn(2, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+
+    variables = convert_pose_resnet(ref.state_dict())
+    model = pose_resnet50(num_keypoints=5)
+    # sanity: ported tree matches the model's own init structure
+    init_vars = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    ported_paths = {jax.tree_util.keystr(p) for p, _ in
+                    jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    init_paths = {jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    assert ported_paths == init_paths
+
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    y = model.apply({"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}, x_jax, train=False)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-4, rtol=1e-3)
+
+
+# --- VGG encoder / decoder oracle -------------------------------------------
+
+def _torch_vgg31():
+    return tnn.Sequential(
+        tnn.Conv2d(3, 3, 1), tnn.ReflectionPad2d(1), tnn.Conv2d(3, 64, 3), tnn.ReLU(),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(64, 64, 3), tnn.ReLU(),
+        tnn.MaxPool2d(2, 2, ceil_mode=True),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(64, 128, 3), tnn.ReLU(),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(128, 128, 3), tnn.ReLU(),
+        tnn.MaxPool2d(2, 2, ceil_mode=True),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(128, 256, 3), tnn.ReLU(),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(256, 256, 3), tnn.ReLU(),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(256, 256, 3), tnn.ReLU(),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(256, 256, 3), tnn.ReLU(),
+        tnn.MaxPool2d(2, 2, ceil_mode=True),
+        tnn.ReflectionPad2d(1), tnn.Conv2d(256, 512, 3), tnn.ReLU(),
+    )
+
+
+def _torch_decoder():
+    up = lambda: tnn.Upsample(scale_factor=2, mode="nearest")
+    pad = lambda: tnn.ReflectionPad2d(1)
+    return tnn.Sequential(
+        pad(), tnn.Conv2d(512, 256, 3), tnn.ReLU(), up(),
+        pad(), tnn.Conv2d(256, 256, 3), tnn.ReLU(),
+        pad(), tnn.Conv2d(256, 256, 3), tnn.ReLU(),
+        pad(), tnn.Conv2d(256, 256, 3), tnn.ReLU(),
+        pad(), tnn.Conv2d(256, 128, 3), tnn.ReLU(), up(),
+        pad(), tnn.Conv2d(128, 128, 3), tnn.ReLU(),
+        pad(), tnn.Conv2d(128, 64, 3), tnn.ReLU(), up(),
+        pad(), tnn.Conv2d(64, 64, 3), tnn.ReLU(),
+        pad(), tnn.Conv2d(64, 3, 3),
+    )
+
+
+def test_vgg_and_decoder_port_match_torch():
+    gen = torch.Generator().manual_seed(1)
+    vgg = _torch_vgg31()
+    dec = _torch_decoder()
+    with torch.no_grad():
+        for m in list(vgg.modules()) + list(dec.modules()):
+            if isinstance(m, tnn.Conv2d):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=gen) * 0.05)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=gen) * 0.05)
+    vgg.eval()
+    dec.eval()
+
+    x = torch.randn(1, 3, 33, 47, generator=gen)  # odd sizes hit ceil-mode pooling
+    with torch.no_grad():
+        feat_ref = vgg(x).numpy()
+        g_ref = dec(torch.tensor(feat_ref)).numpy()
+
+    enc_params = convert_vgg_encoder(vgg.state_dict())
+    encoder = VGGEncoder()
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    feat = encoder.apply({"params": enc_params}, x_jax)
+    np.testing.assert_allclose(np.asarray(feat).transpose(0, 3, 1, 2), feat_ref,
+                               atol=2e-4, rtol=1e-3)
+
+    dec_params = convert_decoder(dec.state_dict())
+    decoder = Decoder()
+    g = decoder.apply({"params": dec_params}, jnp.asarray(feat_ref.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), g_ref,
+                               atol=2e-4, rtol=1e-3)

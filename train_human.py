@@ -1,0 +1,383 @@
+"""Human-body & hand UDA trainer — CLI twin of reference train_human.py.
+
+Same flags, same log lines, same checkpoint names (best_pt/best), same
+phase structure (source-only pretrain -> mean-teacher adaptation), rebuilt
+on the fused TPU train steps (uda_poseestimation_tpu.parallel.train_step).
+The documented-but-unparsed ``--lambda_t`` from the reference README is
+accepted as an ignored legacy flag (SURVEY.md §2.1 flag-drift note).
+"""
+
+import argparse
+import random
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import uda_poseestimation_tpu.data as datasets
+import uda_poseestimation_tpu.data.transforms as T
+import uda_poseestimation_tpu.models as models
+from uda_poseestimation_tpu.data import DataLoader, ForeverDataIterator
+from uda_poseestimation_tpu.engine import (
+    run_adapt_epoch,
+    run_pretrain_epoch,
+    run_validate,
+)
+from uda_poseestimation_tpu.models import StyleNet
+from uda_poseestimation_tpu.parallel import (
+    StepConfig,
+    create_state,
+    make_adapt_step,
+    make_eval_step,
+    make_mesh,
+    make_pretrain_step,
+    replicate,
+)
+from uda_poseestimation_tpu.utils import CompleteLogger, multistep_lr
+from uda_poseestimation_tpu.utils.checkpoint import (
+    filtered_update,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+# styled-image clamp: normalized [0,1] bounds under ImageNet normalization
+# (reference train_human.py:32-33)
+RECOVER_MIN = (-2.1179, -2.0357, -1.8044)
+RECOVER_MAX = (2.2489, 2.4285, 2.64)
+IMAGENET_MEAN = [0.485, 0.456, 0.406]
+IMAGENET_STD = [0.229, 0.224, 0.225]
+
+
+def build_transforms(args):
+    normalize = T.Normalize(IMAGENET_MEAN, IMAGENET_STD)
+    src_train_transform = T.Compose([
+        T.RandomResizedCrop(size=args.image_size, scale=args.resize_scale),
+        T.RandomAffineRotation(args.rotation_stu, args.shear_stu,
+                               args.translate_stu, args.scale_stu),
+        T.ColorJitter(brightness=args.color_stu, contrast=args.color_stu,
+                      saturation=args.color_stu),
+        T.GaussianBlur(high=args.blur_stu),
+        T.ToTensor(),
+        normalize,
+    ])
+    base_transform = T.Compose([
+        T.RandomResizedCrop(size=args.image_size, scale=args.resize_scale),
+    ])
+    tgt_train_transform_stu = T.Compose([
+        T.RandomAffineRotation(args.rotation_stu, args.shear_stu,
+                               args.translate_stu, args.scale_stu),
+        T.ColorJitter(brightness=args.color_stu, contrast=args.color_stu,
+                      saturation=args.color_stu),
+        T.GaussianBlur(high=args.blur_stu),
+        T.ToTensor(),
+        normalize,
+    ])
+    tgt_train_transform_tea = T.Compose([
+        T.RandomAffineRotation(args.rotation_tea, args.shear_tea,
+                               args.translate_tea, args.scale_tea),
+        T.ColorJitter(brightness=args.color_tea, contrast=args.color_tea,
+                      saturation=args.color_tea),
+        T.GaussianBlur(high=args.blur_tea),
+        T.ToTensor(),
+        normalize,
+    ])
+    val_transform = T.Compose([T.Resize(args.image_size), T.ToTensor(), normalize])
+    return src_train_transform, base_transform, tgt_train_transform_stu, \
+        tgt_train_transform_tea, val_transform
+
+
+def main(args: argparse.Namespace):
+    logger = CompleteLogger(args.log + "_" + args.arch, args.phase)
+    logger.write(" ".join(f"{k}={v}" for k, v in vars(args).items()))
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+        warnings.warn("You have chosen to seed training.")
+
+    (src_train_transform, base_transform, tgt_train_transform_stu,
+     tgt_train_transform_tea, val_transform) = build_transforms(args)
+    image_size = (args.image_size, args.image_size)
+    heatmap_size = (args.heatmap_size, args.heatmap_size)
+
+    source_dataset = datasets.__dict__[args.source]
+    train_source_dataset = source_dataset(root=args.source_root,
+                                          transforms=src_train_transform,
+                                          image_size=image_size, heatmap_size=heatmap_size)
+    train_source_loader = DataLoader(train_source_dataset, batch_size=args.batch_size,
+                                     shuffle=True, num_workers=args.workers, drop_last=True)
+    val_source_dataset = source_dataset(root=args.source_root, split="test",
+                                        transforms=val_transform,
+                                        image_size=image_size, heatmap_size=heatmap_size)
+    val_source_loader = DataLoader(val_source_dataset, batch_size=args.test_batch,
+                                   shuffle=False)
+
+    target_dataset = datasets.__dict__[args.target_train]
+    train_target_dataset = target_dataset(
+        root=args.target_root, transforms_base=base_transform,
+        transforms_stu=tgt_train_transform_stu, transforms_tea=tgt_train_transform_tea,
+        k=args.k, image_size=image_size, heatmap_size=heatmap_size)
+    train_target_loader = DataLoader(train_target_dataset, batch_size=args.batch_size,
+                                     shuffle=True, num_workers=args.workers, drop_last=True)
+    target_dataset = datasets.__dict__[args.target]
+    val_target_dataset = target_dataset(root=args.target_root, split="test",
+                                        transforms=val_transform,
+                                        image_size=image_size, heatmap_size=heatmap_size)
+    val_target_loader = DataLoader(val_target_dataset, batch_size=args.test_batch,
+                                   shuffle=False)
+
+    logger.write("Source train: {}".format(len(train_source_loader)))
+    logger.write("Target train: {}".format(len(train_target_loader)))
+    logger.write("Source test: {}".format(len(val_source_loader)))
+    logger.write("Target test: {}".format(len(val_target_loader)))
+
+    train_source_iter = ForeverDataIterator(train_source_loader)
+    train_target_iter = ForeverDataIterator(train_target_loader)
+
+    # models + fused steps
+    cfg = StepConfig(image_size=args.image_size, heatmap_size=args.heatmap_size,
+                     sigma=args.sigma, k=args.k, lambda_c=args.lambda_c,
+                     teacher_alpha=args.teacher_alpha, mask_ratio=args.mask_ratio,
+                     occlude_rate=args.occlude_rate, occlude_thresh=args.occlude_thresh,
+                     occlude_size=args.occlude_size,
+                     recover_min=RECOVER_MIN, recover_max=RECOVER_MAX,
+                     use_sgd=args.SGD)
+    model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
+                                       dtype=jnp.bfloat16)
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    state = replicate(create_state(model, rng, cfg, batch_size=2), mesh)
+
+    if args.decoder_name is not None:
+        from tools.port_torch_weights import load_style_net_params
+        style_model = StyleNet(dtype=jnp.bfloat16)
+        style_params = load_style_net_params("saved_models/vgg_normalised.pth",
+                                             args.decoder_name)
+        style_params = replicate(style_params, mesh)
+    else:
+        style_model = None
+        style_params = None
+
+    pretrain_step = make_pretrain_step(model, cfg, style_model=style_model)
+    adapt_step = make_adapt_step(model, cfg, style_model=style_model)
+    eval_step = make_eval_step(model)
+
+    start_epoch = 0
+    if args.resume:
+        checkpoint = load_checkpoint(args.resume)
+        state = state.replace(
+            student_params=filtered_update(state.student_params,
+                                           checkpoint["student"]["params"]),
+            student_stats=filtered_update(state.student_stats,
+                                          checkpoint["student"].get("batch_stats", {})),
+            teacher_params=filtered_update(state.teacher_params,
+                                           checkpoint["teacher"]["params"]),
+            teacher_stats=filtered_update(state.teacher_stats,
+                                          checkpoint["teacher"].get("batch_stats", {})))
+        if "stu_optimizer" in checkpoint and checkpoint["stu_optimizer"] is not None:
+            try:
+                import flax.serialization
+                state = state.replace(opt_state=flax.serialization.from_state_dict(
+                    state.opt_state, checkpoint["stu_optimizer"]))
+            except Exception:
+                logger.write("resume: optimizer state incompatible; reinitialized")
+        start_epoch = int(checkpoint.get("epoch", -1)) + 1
+    elif args.pretrain:
+        checkpoint = load_checkpoint(args.pretrain)
+        loaded = checkpoint["student"]
+        state = state.replace(
+            student_params=filtered_update(state.student_params, loaded["params"]),
+            student_stats=filtered_update(state.student_stats,
+                                          loaded.get("batch_stats", {})),
+            teacher_params=filtered_update(state.teacher_params, loaded["params"]),
+            teacher_stats=filtered_update(state.teacher_stats,
+                                          loaded.get("batch_stats", {})))
+        state = replicate(state, mesh)
+
+    def visualize(image, keypoint2d, name):
+        denorm = np.asarray(image) * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+        img_u8 = np.clip(denorm * 255.0, 0, 255).astype(np.uint8)
+        train_source_dataset.visualize(img_u8, keypoint2d,
+                                       logger.get_image_path("{}.jpg".format(name)))
+
+    if args.phase == "test":
+        source_val_acc = run_validate(eval_step, state.teacher_params,
+                                      state.teacher_stats, val_source_loader, args)
+        target_val_acc = run_validate(eval_step, state.teacher_params,
+                                      state.teacher_stats, val_target_loader, args,
+                                      visualize=visualize)
+        logger.write("Source: {:4.3f} Target: {:4.3f}".format(
+            source_val_acc["all"], target_val_acc["all"]))
+        for name, acc in target_val_acc.items():
+            logger.write("{}: {:4.3f}".format(name, acc))
+        return
+
+    best_acc = 0
+    for epoch in range(start_epoch, args.epochs):
+        logger.set_epoch(epoch)
+        lr = multistep_lr(args.lr, epoch, args.lr_step, args.lr_factor)
+
+        if epoch < args.pretrain_epoch:
+            state = run_pretrain_epoch(
+                state, style_params, pretrain_step, mesh, train_source_iter,
+                train_target_iter, epoch, lr, args,
+                visualize if args.debug else None,
+                style_enabled=style_model is not None)
+        else:
+            if epoch == args.pretrain_epoch:
+                checkpoint = load_checkpoint(logger.get_checkpoint_path("best_pt"))
+                loaded = checkpoint["student"]
+                state = state.replace(
+                    student_params=filtered_update(state.student_params,
+                                                   loaded["params"]),
+                    student_stats=filtered_update(state.student_stats,
+                                                  loaded.get("batch_stats", {})),
+                    teacher_params=filtered_update(state.teacher_params,
+                                                   loaded["params"]),
+                    teacher_stats=filtered_update(state.teacher_stats,
+                                                  loaded.get("batch_stats", {})))
+                state = replicate(state, mesh)
+            state = run_adapt_epoch(
+                state, style_params, adapt_step, mesh, train_source_iter,
+                train_target_iter, epoch, lr, args,
+                visualize if args.debug else None,
+                style_enabled=style_model is not None)
+
+        if epoch < args.pretrain_epoch:
+            eval_params, eval_stats = state.student_params, state.student_stats
+        else:
+            eval_params, eval_stats = state.teacher_params, state.teacher_stats
+        source_val_acc = run_validate(eval_step, eval_params, eval_stats,
+                                      val_source_loader, args)
+        target_val_acc = run_validate(eval_step, eval_params, eval_stats,
+                                      val_target_loader, args,
+                                      visualize=visualize if args.debug else None)
+
+        if target_val_acc["all"] > best_acc:
+            save_checkpoint(
+                logger.get_checkpoint_path(
+                    "best_pt" if epoch < args.pretrain_epoch else "best"),
+                {"student": {"params": state.student_params,
+                             "batch_stats": state.student_stats},
+                 "teacher": {"params": state.teacher_params,
+                             "batch_stats": state.teacher_stats},
+                 "stu_optimizer": state.opt_state,
+                 "lr_scheduler": {"epoch": epoch, "milestones": list(args.lr_step),
+                                  "gamma": args.lr_factor},
+                 "epoch": epoch,
+                 "args": args})
+            best_acc = target_val_acc["all"]
+        logger.write("Epoch: {} Source: {:4.3f} Target: {:4.3f} Target(best): {:4.3f}".format(
+            epoch, source_val_acc["all"], target_val_acc["all"], best_acc))
+        for name, acc in target_val_acc.items():
+            logger.write("{}: {:4.3f}".format(name, acc))
+
+    logger.close()
+
+
+def build_parser():
+    architecture_names = sorted(
+        name for name in models.__dict__
+        if name.islower() and not name.startswith("__") and callable(models.__dict__[name]))
+    dataset_names = sorted(
+        name for name in datasets.__dict__
+        if not name.startswith("__") and callable(datasets.__dict__[name]))
+
+    parser = argparse.ArgumentParser(
+        description="Source Only for Keypoint Detection Domain Adaptation")
+    parser.add_argument("source_root", help="root path of the source dataset")
+    parser.add_argument("target_root", help="root path of the target dataset")
+    parser.add_argument("-s", "--source", help="source domain(s)")
+    parser.add_argument("-t", "--target", help="target domain(s)")
+    parser.add_argument("--target-train", help="target domain(s)")
+    parser.add_argument("--resize-scale", nargs="+", type=float, default=(0.6, 1.3),
+                        help="scale range for the RandomResizeCrop augmentation")
+    parser.add_argument("--image-size", type=int, default=256, help="input image size")
+    parser.add_argument("--heatmap-size", type=int, default=64, help="output heatmap size")
+    parser.add_argument("--sigma", type=int, default=2, help="")
+    parser.add_argument("--k", type=int, default=1, help="")
+
+    parser.add_argument("--rotation_stu", type=int, default=180,
+                        help="rotation range of the RandomRotation augmentation")
+    parser.add_argument("--color_stu", type=float, default=0.25,
+                        help="color range of the jitter augmentation")
+    parser.add_argument("--blur_stu", type=float, default=0,
+                        help="blur range of the jitter augmentation")
+    parser.add_argument("--shear_stu", nargs="+", type=float, default=(-30, 30),
+                        help="shear range for the RandomResizeCrop augmentation")
+    parser.add_argument("--translate_stu", nargs="+", type=float, default=(0.05, 0.05),
+                        help="tranlate range for the RandomResizeCrop augmentation")
+    parser.add_argument("--scale_stu", nargs="+", type=float, default=(0.6, 1.3),
+                        help="scale range for the RandomResizeCrop augmentation")
+    parser.add_argument("--rotation_tea", type=int, default=180,
+                        help="rotation range of the RandomRotation augmentation")
+    parser.add_argument("--color_tea", type=float, default=0.25,
+                        help="color range of the jitter augmentation")
+    parser.add_argument("--blur_tea", type=float, default=0,
+                        help="blur range of the jitter augmentation")
+    parser.add_argument("--shear_tea", nargs="+", type=float, default=(-30, 30),
+                        help="shear range for the RandomResizeCrop augmentation")
+    parser.add_argument("--translate_tea", nargs="+", type=float, default=(0.05, 0.05),
+                        help="tranlate range for the RandomResizeCrop augmentation")
+    parser.add_argument("--scale_tea", nargs="+", type=float, default=(0.6, 1.3),
+                        help="scale range for the RandomResizeCrop augmentation")
+    parser.add_argument("--s2t-freq", type=float, default=0.5)
+    parser.add_argument("--s2t-alpha", nargs="+", type=float, default=(0, 1))
+    parser.add_argument("--t2s-freq", type=float, default=0.5)
+    parser.add_argument("--t2s-alpha", nargs="+", type=float, default=(0, 1))
+
+    parser.add_argument("-a", "--arch", metavar="ARCH", default="pose_resnet101",
+                        choices=architecture_names,
+                        help="backbone architecture: " + " | ".join(architecture_names)
+                             + " (default: pose_resnet101)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="where restore model parameters from.")
+    parser.add_argument("--pretrain", type=str, default=None,
+                        help="where restore model parameters from.")
+    parser.add_argument("--decoder-name", type=str, default=None,
+                        help="where restore style_net model parameters from.")
+
+    parser.add_argument("-b", "--batch-size", default=16, type=int, metavar="N",
+                        help="mini-batch size (default: 32)")
+    parser.add_argument("--test-batch", default=32, type=int, metavar="N",
+                        help="mini-batch size (default: 32)")
+    parser.add_argument("--lr", "--learning-rate", default=0.0001, type=float,
+                        metavar="LR", help="initial learning rate", dest="lr")
+    parser.add_argument("--lambda_c", default=1.0, type=float)
+    # legacy flag from the reference README (never parsed upstream) — ignored
+    parser.add_argument("--lambda_t", default=0.0, type=float,
+                        help="ignored legacy flag kept for command-line parity")
+    parser.add_argument("--teacher_alpha", default=0.999, type=float)
+    parser.add_argument("--lr-step", default=[45, 60], type=tuple,
+                        help="parameter for lr scheduler")
+    parser.add_argument("--lr-factor", default=0.1, type=float,
+                        help="parameter for lr scheduler")
+    parser.add_argument("-j", "--workers", default=1, type=int, metavar="N",
+                        help="number of data loading workers (default: 2)")
+    parser.add_argument("--epochs", default=70, type=int, metavar="N",
+                        help="number of total epochs to run")
+    parser.add_argument("-i", "--iters-per-epoch", default=500, type=int,
+                        help="Number of iterations per epoch")
+    parser.add_argument("-p", "--print-freq", default=100, type=int, metavar="N",
+                        help="print frequency (default: 100)")
+    parser.add_argument("--val-print-freq", default=2000, type=int, metavar="N",
+                        help="print frequency (default: 100)")
+    parser.add_argument("--seed", default=None, type=int,
+                        help="seed for initializing training. ")
+    parser.add_argument("--log", type=str, default="src_only",
+                        help="Where to save logs, checkpoints and debugging images.")
+    parser.add_argument("--phase", type=str, default="train", choices=["train", "test"],
+                        help="When phase is 'test', only test the model.")
+    parser.add_argument("--debug", action="store_true",
+                        help="In the debug mode, save images and predictions")
+    parser.add_argument("--mask-ratio", type=float, default=0.5, help="")
+    parser.add_argument("--SGD", action="store_true", help="")
+    parser.add_argument("--pretrain-epoch", type=int, default=-1, help="pretrain-epoch")
+    parser.add_argument("--occlude-rate", type=float, default=0.5)
+    parser.add_argument("--occlude-thresh", type=float, default=0.9, help="")
+    parser.add_argument("--occlude-size", type=int, default=10, help="")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

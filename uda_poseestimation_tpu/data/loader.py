@@ -1,0 +1,113 @@
+"""Torch-free data loader with background prefetch + ForeverDataIterator.
+
+Replaces torch ``DataLoader(num_workers, pin_memory)`` + lib/data.py:40-61.
+Samples are materialized by a thread pool (this host is single-core; threads
+exist to overlap PIL/numpy work with TPU steps, and PIL releases the GIL for
+decode/resize), collated into stacked numpy arrays, and handed to the jitted
+step which device_puts them with the proper sharding.
+
+The collate mirrors torch's default: numpy arrays stack along a new batch
+axis; dicts/lists/tuples recurse; scalars become arrays; strings stay lists.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+def default_collate(items):
+    first = items[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(items)
+    if isinstance(first, (np.floating, np.integer, float, int, bool)):
+        return np.asarray(items)
+    if isinstance(first, dict):
+        return {k: default_collate([it[k] for it in items]) for k in first}
+    if isinstance(first, (list, tuple)) and first and isinstance(
+            first[0], (np.ndarray, dict, list, tuple, float, int)):
+        transposed = list(zip(*items))
+        return type(first)(default_collate(list(group)) for group in transposed)
+    return list(items)
+
+
+class DataLoader:
+    """Minimal map-style loader: shuffle, batch, drop_last, prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 0, drop_last: bool = False,
+                 collate_fn: Optional[Callable] = None, seed: Optional[int] = None,
+                 prefetch_batches: int = 2, pin_memory: bool = False):
+        del pin_memory  # accepted for call-site parity; meaningless here
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or default_collate
+        self.prefetch_batches = max(1, prefetch_batches)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            yield order[start:start + self.batch_size]
+
+    def _load_batch(self, idxs):
+        return self.collate_fn([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idxs in self._batches():
+                yield self._load_batch(idxs)
+            return
+
+        q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch_batches)
+        sentinel = object()
+
+        def producer():
+            try:
+                for idxs in self._batches():
+                    q.put(self._load_batch(idxs))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+class ForeverDataIterator:
+    """Infinite iterator over a loader (lib/data.py:40-61)."""
+
+    def __init__(self, data_loader, device=None):
+        del device  # device placement happens in the jitted step
+        self.data_loader = data_loader
+        self.iter = iter(self.data_loader)
+
+    def __next__(self):
+        try:
+            return next(self.iter)
+        except StopIteration:
+            self.iter = iter(self.data_loader)
+            return next(self.iter)
+
+    def __len__(self):
+        return len(self.data_loader)

@@ -1,0 +1,217 @@
+"""Trainer engine: host-side epoch loops around the fused device steps.
+
+The reference implements ``pretrain`` / ``train`` / ``validate`` three times
+(train_human.py:244-500, train_animal.py:267-525, train_animal_other.py);
+here one engine serves all trainers, preserving the observable behavior:
+
+- identical meter names / ProgressMeter line formats;
+- per-iteration host RNG draw structure for s2t/t2s gating and alphas
+  (one np.random.rand() per check, one np.random.uniform per applied style,
+  in the reference's order — train_human.py:270-276, 347-356);
+- the target iterator is advanced exactly when the reference advances it;
+- PCK accuracy on the host via the numpy twin, and the same
+  AverageMeterList(ignore_val=-1) aggregation in validate.
+
+Device work (style transfer, teacher views, warps, occlusion, rectify,
+losses, optimizer, EMA) all lives in parallel.train_step; this module only
+feeds sharded numpy batches and reads back scalar metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.loader import ForeverDataIterator
+from .ops.pck import accuracy
+from .parallel.mesh import shard_batch
+from .utils.meter import AverageMeter, AverageMeterList, ProgressMeter
+
+
+def make_source_batch(x_s, label_s, weight_s, image_t_style=None):
+    batch = {"image_s": np.asarray(x_s, np.float32),
+             "target_s": np.asarray(label_s, np.float32),
+             "weight_s": np.asarray(weight_s, np.float32)}
+    if image_t_style is not None:
+        batch["image_t_style"] = np.asarray(image_t_style, np.float32)
+    return batch
+
+
+def make_adapt_batch(src_tuple, tgt_tuple):
+    x_s, label_s, weight_s, _meta_s = src_tuple
+    (x_t_stu, _t_stu, _w_stu, meta_t_stu,
+     x_t_teas, _t_teas, _w_teas, metas_t_tea) = tgt_tuple
+    return {
+        "image_s": np.asarray(x_s, np.float32),
+        "target_s": np.asarray(label_s, np.float32),
+        "weight_s": np.asarray(weight_s, np.float32),
+        "image_t_stu": np.asarray(x_t_stu, np.float32),
+        "images_t_tea": np.stack([np.asarray(x, np.float32) for x in x_t_teas]),
+        "aug_param_stu": np.asarray(meta_t_stu["aug_param_stu"], np.float32),
+        "aug_params_tea": np.stack([np.asarray(m["aug_param_tea"], np.float32)
+                                    for m in metas_t_tea]),
+    }
+
+
+class StyleGate:
+    """Host-side per-iteration Bernoulli + alpha draws (reference RNG order)."""
+
+    def __init__(self, enabled: bool, freq: float, alpha_range):
+        self.enabled = enabled
+        self.freq = freq
+        self.alpha_range = tuple(alpha_range)
+
+    def draw(self):
+        if not self.enabled:
+            return False, 0.0
+        if self.freq > np.random.rand():
+            return True, float(np.random.uniform(*self.alpha_range))
+        return False, 0.0
+
+
+def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
+                       target_iter: Optional[ForeverDataIterator], epoch, lr, args,
+                       visualize=None, style_enabled=False):
+    """Source-only supervised epoch (train_human.py:244-302)."""
+    batch_time = AverageMeter("Time", ":4.2f")
+    data_time = AverageMeter("Data", ":3.1f")
+    losses_all = AverageMeter("Loss (all)", ":.4e")
+    losses_s = AverageMeter("Loss (s)", ":.4e")
+    acc_s = AverageMeter("Acc (s)", ":3.2f")
+    progress = ProgressMeter(args.iters_per_epoch,
+                             [batch_time, data_time, losses_all, losses_s, acc_s],
+                             prefix="Epoch: [{}]".format(epoch))
+
+    gate = StyleGate(style_enabled, getattr(args, "s2t_freq", 0.0),
+                     getattr(args, "s2t_alpha", (0.0, 1.0)))
+    dummy_style = None
+    end = time.time()
+    for i in range(args.iters_per_epoch):
+        x_s, label_s, weight_s, meta_s = next(source_iter)
+        do_s2t, alpha = gate.draw()
+        if do_s2t:
+            tgt = next(target_iter)
+            image_t_style = np.asarray(tgt[4][0], np.float32)
+        else:
+            if dummy_style is None:
+                dummy_style = np.zeros_like(np.asarray(x_s, np.float32))
+            image_t_style = dummy_style
+        batch = make_source_batch(x_s, label_s, weight_s,
+                                  image_t_style if style_enabled else None)
+        batch = shard_batch(batch, mesh)
+        data_time.update(time.time() - end)
+
+        state, metrics, y_s = pretrain_step(state, style_params, batch,
+                                            jnp.float32(lr), jnp.bool_(do_s2t),
+                                            jnp.float32(alpha))
+        loss = float(metrics["loss_all"])
+        _, avg_acc_s, cnt_s, pred_s = accuracy(np.asarray(y_s),
+                                               np.asarray(batch["target_s"]))
+        acc_s.update(avg_acc_s, cnt_s)
+        losses_all.update(loss, len(x_s))
+        losses_s.update(float(metrics["loss_s"]), len(x_s))
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if i % args.print_freq == 0:
+            progress.display(i)
+            if visualize is not None:
+                ratio = args.image_size / args.heatmap_size
+                visualize(np.asarray(x_s)[0], pred_s[0] * ratio,
+                          "source_{}_pred.jpg".format(i))
+                visualize(np.asarray(x_s)[0], np.asarray(meta_s["keypoint2d"])[0],
+                          "source_{}_label.jpg".format(i))
+    return state
+
+
+def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_iter,
+                    epoch, lr, args, visualize=None, style_enabled=False,
+                    base_rng=None):
+    """Mean-teacher adaptation epoch (train_human.py:305-458)."""
+    batch_time = AverageMeter("Time", ":4.2f")
+    data_time = AverageMeter("Data", ":3.1f")
+    losses_all = AverageMeter("Loss (all)", ":.4e")
+    losses_s = AverageMeter("Loss (s)", ":.4e")
+    losses_c = AverageMeter("Loss (c)", ":.4e")
+    acc_s = AverageMeter("Acc (s)", ":3.2f")
+    progress = ProgressMeter(args.iters_per_epoch,
+                             [batch_time, data_time, losses_all, losses_s,
+                              losses_c, acc_s],
+                             prefix="Epoch: [{}]".format(epoch))
+
+    s2t = StyleGate(style_enabled, getattr(args, "s2t_freq", 0.0),
+                    getattr(args, "s2t_alpha", (0.0, 1.0)))
+    t2s = StyleGate(style_enabled, getattr(args, "t2s_freq", 0.0),
+                    getattr(args, "t2s_alpha", (0.0, 1.0)))
+    if base_rng is None:
+        base_rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+    end = time.time()
+    for i in range(args.iters_per_epoch):
+        src = next(source_iter)
+        tgt = next(target_iter)
+        batch = shard_batch(make_adapt_batch(src, tgt), mesh)
+        data_time.update(time.time() - end)
+
+        do_s2t, alpha_s2t = s2t.draw()
+        do_t2s, alpha_t2s = t2s.draw()
+        rng = jax.random.fold_in(base_rng, epoch * args.iters_per_epoch + i)
+        state, metrics, y_s = adapt_step(state, style_params, batch,
+                                         jnp.float32(lr), rng,
+                                         jnp.bool_(do_s2t), jnp.float32(alpha_s2t),
+                                         jnp.bool_(do_t2s), jnp.float32(alpha_t2s))
+        _, avg_acc_s, cnt_s, pred_s = accuracy(np.asarray(y_s),
+                                               np.asarray(batch["target_s"]))
+        n = len(src[0])
+        acc_s.update(avg_acc_s, cnt_s)
+        losses_all.update(float(metrics["loss_all"]), n)
+        losses_s.update(float(metrics["loss_s"]), n)
+        losses_c.update(float(metrics["loss_c"]), n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if i % args.print_freq == 0:
+            progress.display(i)
+            if visualize is not None:
+                ratio = args.image_size / args.heatmap_size
+                visualize(np.asarray(src[0])[0], pred_s[0] * ratio,
+                          "source_{}_pred.jpg".format(i))
+                visualize(np.asarray(src[0])[0], np.asarray(src[3]["keypoint2d"])[0],
+                          "source_{}_label.jpg".format(i))
+    return state
+
+
+def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
+                 image_size=None, heatmap_size=None):
+    """Evaluation loop returning group PCK (train_human.py:461-500)."""
+    batch_time = AverageMeter("Time", ":6.3f")
+    losses = AverageMeter("Loss", ":.2e")
+    acc = AverageMeterList(list(range(val_loader.dataset.num_keypoints)), ":3.2f",
+                           ignore_val=-1)
+    progress = ProgressMeter(len(val_loader), [batch_time, losses], prefix="Test: ")
+
+    image_size = image_size or args.image_size
+    heatmap_size = heatmap_size or args.heatmap_size
+    end = time.time()
+    for i, (x, label, weight, meta) in enumerate(val_loader):
+        y, loss = eval_step(params, stats, jnp.asarray(np.asarray(x, np.float32)),
+                            jnp.asarray(np.asarray(label, np.float32)),
+                            jnp.asarray(np.asarray(weight, np.float32)))
+        losses.update(float(loss), len(x))
+        acc_per_points, avg_acc, cnt, pred = accuracy(np.asarray(y),
+                                                      np.asarray(label, np.float32))
+        acc.update(acc_per_points, len(x))
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % args.val_print_freq == 0:
+            progress.display(i)
+            if visualize is not None:
+                ratio = image_size / heatmap_size
+                visualize(np.asarray(x)[0], pred[0] * ratio, "val_{}_pred.jpg".format(i))
+                visualize(np.asarray(x)[0], np.asarray(meta["keypoint2d"])[0],
+                          "val_{}_label.jpg".format(i))
+    return val_loader.dataset.group_accuracy(acc.average())
