@@ -155,3 +155,19 @@ def test_backward_warp_roundtrip_center():
     center = (slice(None), slice(None), slice(24, 40), slice(24, 40))
     close = np.isclose(back[center], imgs[center], atol=0.35)
     assert close.mean() > 0.7
+
+
+def test_composed_nearest_chain_bit_exact():
+    """The one-gather composed chain must equal the 3 sequential resamples."""
+    rng = np.random.RandomState(7)
+    imgs = rng.rand(6, 4, 64, 64).astype(np.float32)
+    angle, tx, ty, shx, shy, scale = rand_params(rng, 6)
+    from uda_poseestimation_tpu.ops.affine import chain_coeffs, warp_affine
+    c1, c2, c3 = chain_coeffs(jnp.asarray(angle), jnp.asarray(tx), jnp.asarray(ty),
+                              jnp.asarray(shx), jnp.asarray(shy), jnp.asarray(scale))
+    seq = warp_affine(jnp.asarray(imgs), c1, "nearest")
+    seq = warp_affine(seq, c2, "nearest")
+    seq = warp_affine(seq, c3, "nearest")
+    composed = warp_affine_chain(jnp.asarray(imgs), angle, tx, ty, shx, shy, scale,
+                                 mode="nearest")
+    np.testing.assert_array_equal(np.asarray(composed), np.asarray(seq))

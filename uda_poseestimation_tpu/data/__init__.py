@@ -20,7 +20,16 @@ from .keypoint_dataset import (
     Hand21KeypointDataset,
     KeypointDataset,
 )
+from .generic_transforms import (
+    DeNormalizeAndTranspose,
+    Denormalize,
+    MultipleApply,
+    NormalizeAndTranspose,
+    RandomErasing,
+    ResizeImage,
+)
 from .loader import DataLoader, ForeverDataIterator, default_collate
+from .samplers import CombineDataset, RandomMultipleGallerySampler, concatenate
 from .lsp import LSP, LSP_mt
 from .real_animal import (
     Real_Animal_All,

@@ -25,3 +25,34 @@ def ema_update(teacher_params, student_params, alpha: float = 0.999):
     return jax.tree_util.tree_map(
         lambda t, s: alpha * t + (1.0 - alpha) * s, teacher_params, student_params
     )
+
+
+class OldWeightEMA:
+    """Stateful wrapper mirroring utils.py:9-25 for API parity.
+
+    Holds the teacher pytree and updates it in place-style from a student
+    getter; the functional ``ema_update`` is the idiomatic path.
+    """
+
+    def __init__(self, teacher_params, student_params, alpha: float = 0.999):
+        self.params = ema_init(student_params)
+        self.alpha = alpha
+
+    def step(self, student_params):
+        self.params = ema_update(self.params, student_params, self.alpha)
+        return self.params
+
+
+class ModelEMA:
+    """Deepcopy-style EMA including buffers (lib/models/ema.py:6-44, unused
+    upstream): averages params AND batch statistics."""
+
+    def __init__(self, variables, decay: float = 0.9999):
+        self.variables = jax.tree_util.tree_map(lambda x: x, variables)
+        self.decay = decay
+
+    def update(self, variables):
+        self.variables = jax.tree_util.tree_map(
+            lambda e, m: self.decay * e + (1.0 - self.decay) * m,
+            self.variables, variables)
+        return self.variables

@@ -1,6 +1,7 @@
 """Pure-JAX numerics core: batched heatmap ops, affine warps, PCK, AdaIN."""
 
 from .heatmap import (
+    generate_prior_map,
     generate_target,
     generate_target_batch,
     get_max_preds,

@@ -124,6 +124,38 @@ def get_max_preds(heatmaps):
     return preds, maxvals[..., None]
 
 
+def generate_prior_map(prior_mean, prior_std, preds, gamma: float = 2.0,
+                       sigma: float = 2.0, epsilon: float = -10e10, v3: bool = False):
+    """Keypoint-prior ensemble map — twin of utils.py:111-145 (unused upstream).
+
+    For each channel's argmax, renders the expected locations of all other
+    channels from pairwise distance priors and ensembles them into a (B, K,
+    H, W) multiplier map.
+
+    Args:
+        prior_mean, prior_std: (K, K) pairwise distance statistics.
+        preds: (B, K, H, W) heatmaps.
+    """
+    b, k, h, w = preds.shape
+    pred_coord, pred_val = get_max_preds(preds)  # (B, K, 2), (B, K, 1)
+    ys, xs = _center_grid(h, w)
+    grid = jnp.stack([xs, ys])  # (2, H, W) of absolute coords
+    # distance from each channel j's grid to channel i's argmax: (B, K, K, H, W)
+    diff = grid[None, None, :, :, :] - pred_coord[:, :, :, None, None]
+    dist = jnp.linalg.norm(diff, axis=2)[:, :, None, :, :]  # (B, K, 1, H, W)
+    dist = jnp.broadcast_to(dist, (b, k, k, h, w)) - prior_mean[None, :, :, None, None]
+    targets = jnp.exp(-(dist ** 2) / (2 * sigma ** 2))
+    if v3:
+        var_table = (1.0 / (1.0 + prior_std))[None]  # (1, K, K)
+        conf_table = pred_val.reshape(b, k, 1)
+        final_weight = var_table * conf_table  # (B, K, K)
+        return jnp.sum(final_weight[:, :, :, None, None] * targets, axis=1)
+    temp_std = -prior_std / gamma
+    temp_std = temp_std.at[jnp.diag_indices(k)].set(epsilon)
+    weights = jax.nn.softmax(temp_std, axis=0)  # (K, K)
+    return jnp.sum(weights[None, :, :, None, None] * targets, axis=1)
+
+
 def rectify(heatmaps, sigma: float):
     """Replace every channel with a unit-peak Gaussian at its argmax.
 
