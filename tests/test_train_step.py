@@ -122,3 +122,40 @@ def test_eval_step():
                  batch["image_s"], batch["target_s"], batch["weight_s"])
     assert y.shape == (B, K, 16, 16)
     assert np.isfinite(float(loss))
+
+
+def test_fused_occlusion_matches_sequential():
+    """Single-gather occlusion == forward-chain -> paste -> backward warp."""
+    import jax.numpy as jnp
+    from uda_poseestimation_tpu.ops.affine import (
+        backward_warp_images, forward_warp_images)
+    from uda_poseestimation_tpu.parallel.train_step import (
+        _nchw, _nhwc, _occlude_batch, _occlusion_geometry, _paste_patch)
+
+    rng = np.random.RandomState(9)
+    cfg = StepConfig(image_size=64, heatmap_size=16, sigma=2.0,
+                     occlude_thresh=0.5, occlude_rate=1.0, occlude_size=6)
+    B_, K_ = 6, 4
+    imgs = rng.rand(B_, 64, 64, 3).astype(np.float32)
+    hm = rng.rand(B_, K_, 16, 16).astype(np.float32)  # confident peaks
+    aug = np.stack([rng.uniform(-40, 40, B_), np.round(rng.uniform(-3, 3, B_)),
+                    np.round(rng.uniform(-3, 3, B_)), rng.uniform(-15, 15, B_),
+                    rng.uniform(-15, 15, B_), rng.uniform(0.8, 1.2, B_)],
+                   -1).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+
+    fused = np.asarray(_occlude_batch(key, jnp.asarray(imgs), jnp.asarray(hm),
+                                      jnp.asarray(aug), cfg))
+
+    # sequential oracle with the same geometry draws
+    do, left, right, upper, bottom, left_src, upper_src = _occlusion_geometry(
+        key, jnp.asarray(hm), cfg)
+    chw = _nchw(jnp.asarray(imgs))
+    warped = forward_warp_images(chw, jnp.asarray(aug), cfg.ratio)
+    pasted = jax.vmap(_paste_patch)(warped, left, right, upper, bottom,
+                                    left_src, upper_src)
+    back = backward_warp_images(pasted, jnp.asarray(aug), cfg.ratio)
+    seq = np.asarray(_nhwc(jnp.where(np.asarray(do)[:, None, None, None], back, chw)))
+
+    assert np.asarray(do).any()  # occlusion actually exercised
+    np.testing.assert_array_equal(fused, seq)

@@ -1,0 +1,105 @@
+"""Tests for meters, schedules, logger, and checkpoint roundtrips."""
+
+import argparse
+import os
+
+import numpy as np
+import optax
+
+from uda_poseestimation_tpu.utils import (
+    AverageMeter,
+    AverageMeterList,
+    CompleteLogger,
+    ProgressMeter,
+    multistep_lr,
+    sigmoid_rampup,
+)
+from uda_poseestimation_tpu.utils.checkpoint import (
+    filtered_update,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_average_meter_formats():
+    m = AverageMeter("Loss (all)", ":.4e")
+    m.update(0.5, 2)
+    m.update(1.5, 2)
+    assert abs(m.avg - 1.0) < 1e-9
+    assert str(m) == "Loss (all) 1.5000e+00 (1.0000e+00)"
+
+
+def test_average_meter_ignore_val():
+    m = AverageMeterList([0, 1], ":3.2f", ignore_val=-1)
+    m.update([-1, 0.5], 4)
+    m.update([0.25, -1], 4)
+    avg = m.average()
+    assert avg[0] == 0.25 and avg[1] == 0.5
+
+
+def test_progress_meter_line(capsys):
+    m = AverageMeter("Time", ":4.2f")
+    m.update(1.0)
+    p = ProgressMeter(500, [m], prefix="Epoch: [3]")
+    p.display(42)
+    out = capsys.readouterr().out
+    assert out.startswith("Epoch: [3][ 42/500]\tTime 1.00 (1.00)")
+
+
+def test_multistep_lr_reference_convention():
+    # step-at-epoch-start: milestone 45 first affects epoch 44
+    assert multistep_lr(1e-4, 43, [45, 60]) == 1e-4
+    assert abs(multistep_lr(1e-4, 44, [45, 60]) - 1e-5) < 1e-12
+    assert abs(multistep_lr(1e-4, 59, [45, 60]) - 1e-6) < 1e-12
+    assert sigmoid_rampup(0, 10) < sigmoid_rampup(10, 10) == 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"backbone": {"conv1": {"kernel": np.random.rand(3, 3, 3, 8).astype(np.float32)}}}
+    tx = optax.scale_by_adam()
+    opt_state = tx.init(params)
+    args = argparse.Namespace(lr=1e-4, lr_step=(45, 60), log="x", seed=None)
+    path = str(tmp_path / "ckpt" / "best_pt.pth")
+    save_checkpoint(path, {
+        "student": {"params": params, "batch_stats": {}},
+        "teacher": {"params": params, "batch_stats": {}},
+        "stu_optimizer": opt_state,
+        "lr_scheduler": {"epoch": 3},
+        "epoch": 3,
+        "args": args,
+    })
+    loaded = load_checkpoint(path)
+    assert loaded["epoch"] == 3
+    np.testing.assert_array_equal(
+        loaded["student"]["params"]["backbone"]["conv1"]["kernel"],
+        params["backbone"]["conv1"]["kernel"])
+    assert loaded["args"]["lr"] == 1e-4
+
+    # filtered update keeps unmatched leaves, copies matching ones
+    fresh = {"backbone": {"conv1": {"kernel": np.zeros((3, 3, 3, 8), np.float32)},
+                          "extra": {"w": np.ones(2)}}}
+    merged = filtered_update(fresh, loaded["student"]["params"])
+    np.testing.assert_array_equal(merged["backbone"]["conv1"]["kernel"],
+                                  params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(merged["backbone"]["extra"]["w"], np.ones(2))
+
+    # optimizer state restores through flax serialization
+    import flax.serialization
+    restored = flax.serialization.from_state_dict(opt_state, loaded["stu_optimizer"])
+    assert restored.count == opt_state.count
+
+
+def test_complete_logger_paths(tmp_path, capsys):
+    root = str(tmp_path / "logs" / "exp_pose_resnet101")
+    logger = CompleteLogger(root, phase="train")
+    logger.set_epoch(5)
+    img_path = logger.get_image_path("x.jpg")
+    ckpt_path = logger.get_checkpoint_path("best_pt")
+    assert "output_viz" in img_path and img_path.endswith("visualize/5/x.jpg")
+    assert "checkpoints" in ckpt_path and ckpt_path.endswith("best_pt.pth")
+    logger.write("hello")
+    logger.close()
+    logs = [f for f in os.listdir(root) if f.startswith("train-")]
+    assert logs
+    with open(os.path.join(root, logs[0])) as f:
+        assert "hello" in f.read()

@@ -173,6 +173,37 @@ def chain_coeffs(angle, tx, ty, shx, shy, scale):
     return c1, c2, c3
 
 
+def compose_nearest_indices(coeff_list, xs, ys, valid, h, w):
+    """Compose NEAREST-warp index maps backwards through ``coeff_list``.
+
+    Args:
+        coeff_list: warps in application order [first, ..., last].
+        xs, ys: centered (possibly fractional) coordinates at the output of
+            the last warp; valid: bool mask accumulated so far.
+
+    Returns (xs, ys, valid) where xs/ys are centered *integer-valued* source
+    coordinates into the input of the first warp.
+    """
+    for m in reversed(coeff_list):
+        x_in = m[0] * xs + m[1] * ys + m[2] + (w - 1) / 2.0
+        y_in = m[3] * xs + m[4] * ys + m[5] + (h - 1) / 2.0
+        ix = jnp.round(x_in).astype(jnp.int32)
+        iy = jnp.round(y_in).astype(jnp.int32)
+        valid = valid & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        xs = jnp.clip(ix, 0, w - 1).astype(jnp.float32) - (w - 1) / 2.0
+        ys = jnp.clip(iy, 0, h - 1).astype(jnp.float32) - (h - 1) / 2.0
+    return xs, ys, valid
+
+
+def gather_nearest(img, xs, ys, valid, h, w):
+    """Gather (C, H, W) ``img`` at centered integer coords; zeros if invalid."""
+    c = img.shape[0]
+    idx = ((ys + (h - 1) / 2.0).astype(jnp.int32) * w
+           + (xs + (w - 1) / 2.0).astype(jnp.int32))
+    out = jnp.take(img.reshape(c, h * w), idx.reshape(-1), axis=1).reshape(c, h, w)
+    return jnp.where(valid[None], out, 0.0)
+
+
 def _chain_gather_nearest(imgs, coeff_list):
     """One-gather evaluation of sequential NEAREST warps — bit-exact.
 
@@ -190,23 +221,11 @@ def _chain_gather_nearest(imgs, coeff_list):
     y_c, x_c = _grid(h, w)
 
     def one(img, coeffs):
-        # start from output pixel centers of the final warp
         xs = jnp.broadcast_to(x_c, (h, w))
         ys = jnp.broadcast_to(y_c, (h, w))
         valid = jnp.ones((h, w), bool)
-        for m in reversed(coeffs):
-            x_in = m[0] * xs + m[1] * ys + m[2] + (w - 1) / 2.0
-            y_in = m[3] * xs + m[4] * ys + m[5] + (h - 1) / 2.0
-            ix = jnp.round(x_in).astype(jnp.int32)
-            iy = jnp.round(y_in).astype(jnp.int32)
-            valid = valid & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-            # re-center integer coords for the next (earlier) stage
-            xs = jnp.clip(ix, 0, w - 1).astype(jnp.float32) - (w - 1) / 2.0
-            ys = jnp.clip(iy, 0, h - 1).astype(jnp.float32) - (h - 1) / 2.0
-        idx = ((ys + (h - 1) / 2.0).astype(jnp.int32) * w
-               + (xs + (w - 1) / 2.0).astype(jnp.int32))
-        out = jnp.take(img.reshape(c, h * w), idx.reshape(-1), axis=1).reshape(c, h, w)
-        return jnp.where(valid[None], out, 0.0)
+        xs, ys, valid = compose_nearest_indices(list(coeffs), xs, ys, valid, h, w)
+        return gather_nearest(img, xs, ys, valid, h, w)
 
     stacked = jnp.stack(coeff_list, axis=1)  # (B, n_stages, 6)
     return jax.vmap(one)(imgs, stacked)

@@ -51,7 +51,15 @@ import optax
 from ..models.ema import ema_update
 from ..models.loss import cons_loss, joints_mse_loss
 from ..models.style_net import StyleNet
-from ..ops.affine import backward_warp_images, forward_warp_images, inverse_warp_heatmaps
+from ..ops.affine import (
+    backward_warp_images,
+    chain_coeffs,
+    compose_nearest_indices,
+    forward_warp_images,
+    gather_nearest,
+    inverse_affine_coeffs,
+    inverse_warp_heatmaps,
+)
 from ..ops.heatmap import get_max_preds, rectify
 from ..ops.pck import keypoint_pck_accuracy
 
@@ -176,17 +184,8 @@ def _paste_patch(img, left, right, upper, bottom, left_src, upper_src):
     return jnp.where(mask[None], src_vals, img)
 
 
-def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepConfig):
-    """Paste random patches over confident predicted keypoints.
-
-    Reference semantics per sample (train_human.py:376-413): with probability
-    occlude_rate, and only if some keypoint's confidence >= occlude_thresh,
-    forward-warp the student view into teacher-aligned space, paste a random
-    patch of the same image over one uniformly-chosen confident keypoint
-    (box +-occlude_size at image scale), and warp back with a single inverse
-    affine. Vectorized: all samples are warped/pasted, the per-sample
-    Bernoulli/eligibility mask selects the result.
-    """
+def _occlusion_geometry(rng, y_t_tea_recon, cfg: StepConfig):
+    """Per-sample occlusion decisions: gate, rectangle, source offsets."""
     b, k = y_t_tea_recon.shape[:2]
     s = cfg.image_size
     conf = jnp.max(y_t_tea_recon, axis=(2, 3))  # (B, K)
@@ -213,13 +212,68 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
     u2 = jax.random.uniform(k_src2, (b,))
     left_src = jnp.floor(u1 * (s - (right - left) + 1).astype(jnp.float32)).astype(jnp.int32)
     upper_src = jnp.floor(u2 * (s - (bottom - upper) + 1).astype(jnp.float32)).astype(jnp.int32)
+    return do, left, right, upper, bottom, left_src, upper_src
+
+
+def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepConfig):
+    """Paste random patches over confident predicted keypoints.
+
+    Reference semantics per sample (train_human.py:376-413): with probability
+    occlude_rate, and only if some keypoint's confidence >= occlude_thresh,
+    forward-warp the student view into teacher-aligned space, paste a random
+    patch of the same image over one uniformly-chosen confident keypoint
+    (box +-occlude_size at image scale), and warp back with a single inverse
+    affine. Vectorized: all samples are warped/pasted, the per-sample
+    Bernoulli/eligibility mask selects the result.
+    """
+    s = cfg.image_size
+    do, left, right, upper, bottom, left_src, upper_src = _occlusion_geometry(
+        rng, y_t_tea_recon, cfg)
 
     imgs = _nchw(x_t_stu_nhwc)
-    warped = forward_warp_images(imgs, aug_param_stu, cfg.ratio,
-                                 fused=not cfg.exact_warp_chain)
-    pasted = jax.vmap(_paste_patch)(warped, left, right, upper, bottom, left_src, upper_src)
-    back = backward_warp_images(pasted, aug_param_stu, cfg.ratio)
-    out = jnp.where(do[:, None, None, None], back, imgs)
+    if cfg.exact_warp_chain:
+        # Single-gather evaluation of backward(paste(forward(x))): all three
+        # stages are integer index remaps under nearest resampling, so they
+        # compose exactly (forward chain c1,c2,c3, then the rectangle remap,
+        # then the single backward affine) — 1 gather instead of 3 over the
+        # full-resolution images, bit-identical to the sequential path.
+        angle, tx, ty, shx, shy, scale = jnp.moveaxis(
+            jnp.asarray(aug_param_stu, jnp.float32), -1, 0)
+        c1, c2, c3 = chain_coeffs(angle, tx / cfg.ratio, ty / cfg.ratio,
+                                  shx, shy, scale)
+        cb = inverse_affine_coeffs(-angle, -tx / cfg.ratio, -ty / cfg.ratio,
+                                   -shx, -shy, 1.0 / scale)
+
+        h = w = s
+        half = (s - 1) / 2.0
+        ys0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) - half
+        xs0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) - half
+
+        def one(img, cb_i, c1_i, c2_i, c3_i, lt, up, ls, us, rb, bb):
+            valid = jnp.ones((h, w), bool)
+            # backward warp index map (last applied)
+            qx, qy, valid = compose_nearest_indices([cb_i], xs0, ys0, valid, h, w)
+            # rectangle remap on absolute integer coords
+            qr = (qy + half).astype(jnp.int32)  # rows (y)
+            qc = (qx + half).astype(jnp.int32)  # cols (x)
+            inside = (qr >= lt) & (qr < rb) & (qc >= up) & (qc < bb)
+            rr = jnp.where(inside, qr - lt + ls, qr)
+            rc = jnp.where(inside, qc - up + us, qc)
+            # forward chain index maps (first applied)
+            fx, fy, valid = compose_nearest_indices(
+                [c1_i, c2_i, c3_i],
+                rc.astype(jnp.float32) - half, rr.astype(jnp.float32) - half,
+                valid, h, w)
+            return gather_nearest(img, fx, fy, valid, h, w)
+
+        occluded = jax.vmap(one)(imgs, cb, c1, c2, c3, left, upper,
+                                 left_src, upper_src, right, bottom)
+    else:
+        warped = forward_warp_images(imgs, aug_param_stu, cfg.ratio, fused=True)
+        pasted = jax.vmap(_paste_patch)(warped, left, right, upper, bottom,
+                                        left_src, upper_src)
+        occluded = backward_warp_images(pasted, aug_param_stu, cfg.ratio)
+    out = jnp.where(do[:, None, None, None], occluded, imgs)
     return _nhwc(out)
 
 
