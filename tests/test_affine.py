@@ -171,3 +171,33 @@ def test_composed_nearest_chain_bit_exact():
     composed = warp_affine_chain(jnp.asarray(imgs), angle, tx, ty, shx, shy, scale,
                                  mode="nearest")
     np.testing.assert_array_equal(np.asarray(composed), np.asarray(seq))
+
+
+def test_pallas_warp_gather_interpret():
+    """One-hot MXU gather kernel (interpret mode) vs the XLA take gather."""
+    import jax
+    from uda_poseestimation_tpu.ops.affine import (
+        chain_coeffs, compose_nearest_indices, _grid)
+    from uda_poseestimation_tpu.ops.pallas_warp import warp_gather_onehot
+
+    rng = np.random.RandomState(12)
+    B_, K_, H_, W_ = 4, 5, 32, 32
+    hms = jnp.asarray(rng.rand(B_, K_, H_, W_).astype(np.float32))
+    angle, tx, ty, shx, shy, scale = rand_params(rng, B_)
+    c1, c2, c3 = chain_coeffs(jnp.asarray(angle), jnp.asarray(tx), jnp.asarray(ty),
+                              jnp.asarray(shx), jnp.asarray(shy), jnp.asarray(scale))
+    y_c, x_c = _grid(H_, W_)
+
+    def maps(cs):
+        xs = jnp.broadcast_to(x_c, (H_, W_))
+        ys = jnp.broadcast_to(y_c, (H_, W_))
+        valid = jnp.ones((H_, W_), bool)
+        xs, ys, valid = compose_nearest_indices(list(cs), xs, ys, valid, H_, W_)
+        return ((xs + (W_ - 1) / 2).astype(jnp.int32).reshape(-1),
+                (ys + (H_ - 1) / 2).astype(jnp.int32).reshape(-1),
+                valid.reshape(-1))
+
+    ix, iy, valid = jax.vmap(maps)(jnp.stack([c1, c2, c3], 1))
+    ref = warp_affine_chain(hms, angle, tx, ty, shx, shy, scale, mode="nearest")
+    got = warp_gather_onehot(hms, ix, iy, valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

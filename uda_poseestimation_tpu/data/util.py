@@ -317,3 +317,16 @@ def load_image_ori(img_path):
     """Load RGB image as HWC float32 [0,1] (util.py:365-368 minus layout)."""
     with Image.open(img_path) as im:
         return im_to_float(np.asarray(im.convert("RGB")))
+
+
+def visualize_heatmap(image, heatmaps, filename):
+    """Overlay per-keypoint heatmaps on an image (util.py:126-135)."""
+    import cv2
+    image = cv2.cvtColor(np.asarray(image), cv2.COLOR_RGB2BGR).copy()
+    h, w = heatmaps.shape[1], heatmaps.shape[2]
+    resized_image = cv2.resize(image, (int(w), int(h)))
+    hm_u8 = np.clip(np.asarray(heatmaps) * 255, 0, 255).astype(np.uint8)
+    for k in range(hm_u8.shape[0]):
+        colored = cv2.applyColorMap(hm_u8[k], cv2.COLORMAP_JET)
+        masked = colored * 0.3 + resized_image * 0.7
+        cv2.imwrite(filename.format(k), masked)
