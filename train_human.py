@@ -97,6 +97,14 @@ def main(args: argparse.Namespace):
 
     (src_train_transform, base_transform, tgt_train_transform_stu,
      tgt_train_transform_tea, val_transform) = build_transforms(args)
+    if args.device_aug:
+        # raw-canvas host pipeline: decode + canonicalize only; all random
+        # views are drawn on device (ops/device_aug.py DEVIATION NOTE)
+        src_train_transform = T.Compose([T.Resize(args.image_size), T.ToTensor()])
+        base_transform = T.Compose([T.Resize(args.image_size)])
+        raw_view = T.Compose([T.IdentityAffine(), T.ToTensor()])
+        tgt_train_transform_stu = raw_view
+        tgt_train_transform_tea = raw_view
     image_size = (args.image_size, args.image_size)
     heatmap_size = (args.heatmap_size, args.heatmap_size)
 
@@ -162,6 +170,37 @@ def main(args: argparse.Namespace):
     adapt_step = make_adapt_step(model, cfg, style_model=style_model)
     eval_step = make_eval_step(model)
 
+    if args.device_aug:
+        from uda_poseestimation_tpu.engine import DeviceAugPipeline
+        from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+        common = dict(image_size=args.image_size, heatmap_size=args.heatmap_size,
+                      sigma=args.sigma)
+        aug_src = DeviceAugConfig(resize_scale=tuple(args.resize_scale),
+                                  rotation=args.rotation_stu,
+                                  shear=tuple(args.shear_stu),
+                                  translate=tuple(args.translate_stu),
+                                  scale=tuple(args.scale_stu),
+                                  color=args.color_stu, blur=args.blur_stu,
+                                  use_rrc=True, **common)
+        aug_stu = DeviceAugConfig(rotation=args.rotation_stu,
+                                  shear=tuple(args.shear_stu),
+                                  translate=tuple(args.translate_stu),
+                                  scale=tuple(args.scale_stu),
+                                  color=args.color_stu, blur=args.blur_stu,
+                                  use_rrc=False, **common)
+        aug_tea = DeviceAugConfig(rotation=args.rotation_tea,
+                                  shear=tuple(args.shear_tea),
+                                  translate=tuple(args.translate_tea),
+                                  scale=tuple(args.scale_tea),
+                                  color=args.color_tea, blur=args.blur_tea,
+                                  use_rrc=False, **common)
+        device_aug = DeviceAugPipeline(aug_src, aug_stu, aug_tea, k=args.k,
+                                       mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                                       mesh=mesh,
+                                       seed=args.seed if args.seed is not None else 0)
+    else:
+        device_aug = None
+
     start_epoch = 0
     if args.resume:
         checkpoint = load_checkpoint(args.resume)
@@ -222,7 +261,8 @@ def main(args: argparse.Namespace):
                 state, style_params, pretrain_step, mesh, train_source_iter,
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
-                style_enabled=style_model is not None)
+                style_enabled=style_model is not None,
+                device_aug=device_aug)
         else:
             if epoch == args.pretrain_epoch:
                 checkpoint = load_checkpoint(logger.get_checkpoint_path("best_pt"))
@@ -241,7 +281,8 @@ def main(args: argparse.Namespace):
                 state, style_params, adapt_step, mesh, train_source_iter,
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
-                style_enabled=style_model is not None)
+                style_enabled=style_model is not None,
+                device_aug=device_aug)
 
         if epoch < args.pretrain_epoch:
             eval_params, eval_stats = state.student_params, state.student_stats
@@ -376,6 +417,9 @@ def build_parser():
     parser.add_argument("--occlude-rate", type=float, default=0.5)
     parser.add_argument("--occlude-thresh", type=float, default=0.9, help="")
     parser.add_argument("--occlude-size", type=int, default=10, help="")
+    parser.add_argument("--device-aug", action="store_true",
+                        help="generate augmented views on device (TPU fast "
+                             "path; see ops/device_aug.py deviation note)")
     return parser
 
 

@@ -378,6 +378,20 @@ class RandomAffineRotation:
         return image, kwargs
 
 
+class IdentityAffine:
+    """Emit an identity ``aug_param`` without touching the image.
+
+    Used by the --device-aug raw-canvas mode: the *_mt datasets require the
+    student/teacher transforms to produce an aug_param; with device-side
+    augmentation the host view is the identity and the real parameters are
+    drawn on device (ops.device_aug).
+    """
+
+    def __call__(self, image, **kwargs):
+        kwargs["aug_param"] = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], np.float32)
+        return image, kwargs
+
+
 class RandomResizedCrop:
     """Square random crop (aspect 1) + resize (reference :456-522)."""
 

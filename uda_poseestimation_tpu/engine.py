@@ -57,6 +57,70 @@ def make_adapt_batch(src_tuple, tgt_tuple):
     }
 
 
+class DeviceAugPipeline:
+    """Jitted on-device view generation for the --device-aug fast path.
+
+    Host datasets supply one canonical canvas per sample (Resize/ResizePad +
+    ToTensor, identity aug_param); this pipeline draws and renders the
+    student/teacher/source views on device (ops.device_aug). See the
+    DEVIATION NOTE in ops/device_aug.py.
+    """
+
+    def __init__(self, cfg_src, cfg_stu, cfg_tea, k: int, mean, std,
+                 mesh=None, seed: int = 0):
+        from .ops.device_aug import augment_batch
+
+        self.k = k
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(seed)
+        self._n = 0
+
+        def prep_source(rng, canvas, kp, vis):
+            out = augment_batch(rng, canvas, kp, vis, cfg_src, n_views=1,
+                                mean=mean, std=std)
+            return (out["image"][0], out["target"][0], out["target_weight"][0],
+                    out["keypoint2d"][0])
+
+        def prep_target(rng, canvas, kp, vis):
+            # one shared RandomResizedCrop base view (transforms_base), then
+            # independent affine/jitter per student/teacher view
+            from .ops.device_aug import rrc_batch
+
+            r_base, r_stu, r_tea = jax.random.split(rng, 3)
+            base_img, base_kp = rrc_batch(r_base, canvas, kp, cfg_src)
+            stu = augment_batch(r_stu, base_img, base_kp, vis, cfg_stu,
+                                n_views=1, mean=mean, std=std)
+            tea = augment_batch(r_tea, base_img, base_kp, vis, cfg_tea,
+                                n_views=k, mean=mean, std=std)
+            return (stu["image"][0], stu["aug_param"][0],
+                    tea["image"], tea["aug_param"])
+
+        self.prep_source = jax.jit(prep_source)
+        self.prep_target = jax.jit(prep_target)
+
+    def next_rng(self):
+        self._n += 1
+        return jax.random.fold_in(self.rng, self._n)
+
+    def _put(self, arrays):
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        return tuple(shard_batch(list(arrays), self.mesh))
+
+    def raw_source(self, src_tuple):
+        x, _t, weight, meta = src_tuple
+        return self._put((np.asarray(x, np.float32),
+                          np.asarray(meta["keypoint2d"], np.float32),
+                          np.asarray(weight, np.float32)[..., 0]))
+
+    def raw_target(self, tgt_tuple):
+        canvas = tgt_tuple[0]
+        meta = tgt_tuple[3]
+        return self._put((np.asarray(canvas, np.float32),
+                          np.asarray(meta["keypoint2d_ori"], np.float32),
+                          np.asarray(meta["target_weight_ori"], np.float32)[..., 0]))
+
+
 class StyleGate:
     """Host-side per-iteration Bernoulli + alpha draws (reference RNG order)."""
 
@@ -75,7 +139,8 @@ class StyleGate:
 
 def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
                        target_iter: Optional[ForeverDataIterator], epoch, lr, args,
-                       visualize=None, style_enabled=False):
+                       visualize=None, style_enabled=False,
+                       device_aug: Optional[DeviceAugPipeline] = None):
     """Source-only supervised epoch (train_human.py:244-302)."""
     batch_time = AverageMeter("Time", ":4.2f")
     data_time = AverageMeter("Data", ":3.1f")
@@ -93,16 +158,31 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
     for i in range(args.iters_per_epoch):
         x_s, label_s, weight_s, meta_s = next(source_iter)
         do_s2t, alpha = gate.draw()
-        if do_s2t:
-            tgt = next(target_iter)
-            image_t_style = np.asarray(tgt[4][0], np.float32)
+        if device_aug is not None:
+            canvas, kp, vis = device_aug.raw_source((x_s, label_s, weight_s, meta_s))
+            img_s, tgt_s, w_s, kp_aug = device_aug.prep_source(
+                device_aug.next_rng(), canvas, kp, vis)
+            batch = {"image_s": img_s, "target_s": tgt_s, "weight_s": w_s}
+            meta_s = {"keypoint2d": kp_aug}
+            if style_enabled:
+                if do_s2t:
+                    c_t, kp_t, vis_t = device_aug.raw_target(next(target_iter))
+                    _, _, teas, _ = device_aug.prep_target(
+                        device_aug.next_rng(), c_t, kp_t, vis_t)
+                    batch["image_t_style"] = teas[0]
+                else:
+                    batch["image_t_style"] = jnp.zeros_like(img_s)
         else:
-            if dummy_style is None:
-                dummy_style = np.zeros_like(np.asarray(x_s, np.float32))
-            image_t_style = dummy_style
-        batch = make_source_batch(x_s, label_s, weight_s,
-                                  image_t_style if style_enabled else None)
-        batch = shard_batch(batch, mesh)
+            if do_s2t:
+                tgt = next(target_iter)
+                image_t_style = np.asarray(tgt[4][0], np.float32)
+            else:
+                if dummy_style is None:
+                    dummy_style = np.zeros_like(np.asarray(x_s, np.float32))
+                image_t_style = dummy_style
+            batch = make_source_batch(x_s, label_s, weight_s,
+                                      image_t_style if style_enabled else None)
+            batch = shard_batch(batch, mesh)
         data_time.update(time.time() - end)
 
         state, metrics, y_s = pretrain_step(state, style_params, batch,
@@ -130,7 +210,7 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
 
 def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_iter,
                     epoch, lr, args, visualize=None, style_enabled=False,
-                    base_rng=None):
+                    base_rng=None, device_aug: Optional[DeviceAugPipeline] = None):
     """Mean-teacher adaptation epoch (train_human.py:305-458)."""
     batch_time = AverageMeter("Time", ":4.2f")
     data_time = AverageMeter("Data", ":3.1f")
@@ -154,7 +234,19 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
     for i in range(args.iters_per_epoch):
         src = next(source_iter)
         tgt = next(target_iter)
-        batch = shard_batch(make_adapt_batch(src, tgt), mesh)
+        if device_aug is not None:
+            canvas, kp, vis = device_aug.raw_source(src)
+            img_s, tgt_s, w_s, kp_aug = device_aug.prep_source(
+                device_aug.next_rng(), canvas, kp, vis)
+            c_t, kp_t, vis_t = device_aug.raw_target(tgt)
+            x_t_stu, aug_stu, x_t_teas, aug_teas = device_aug.prep_target(
+                device_aug.next_rng(), c_t, kp_t, vis_t)
+            batch = {"image_s": img_s, "target_s": tgt_s, "weight_s": w_s,
+                     "image_t_stu": x_t_stu, "images_t_tea": x_t_teas,
+                     "aug_param_stu": aug_stu, "aug_params_tea": aug_teas}
+            src = (src[0], None, None, {"keypoint2d": kp_aug})
+        else:
+            batch = shard_batch(make_adapt_batch(src, tgt), mesh)
         data_time.update(time.time() - end)
 
         do_s2t, alpha_s2t = s2t.draw()
