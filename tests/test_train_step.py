@@ -118,10 +118,15 @@ def test_eval_step():
     rng = np.random.RandomState(3)
     batch = shard_batch(_fake_batch(rng, with_teacher=False), mesh)
     ev = make_eval_step(model)
-    y, loss = ev(state.student_params, state.student_stats,
-                 batch["image_s"], batch["target_s"], batch["weight_s"])
+    y, loss, acc_per_kpt = ev(state.student_params, state.student_stats,
+                              batch["image_s"], batch["target_s"], batch["weight_s"])
     assert y.shape == (B, K, 16, 16)
     assert np.isfinite(float(loss))
+    assert acc_per_kpt.shape == (K,)
+    # device per-keypoint PCK must match the host twin
+    from uda_poseestimation_tpu.ops import accuracy as np_accuracy
+    host_acc, _, _, _ = np_accuracy(np.asarray(y), np.asarray(batch["target_s"]))
+    np.testing.assert_allclose(np.asarray(acc_per_kpt), host_acc, atol=1e-6)
 
 
 def test_fused_occlusion_matches_sequential():
@@ -159,3 +164,34 @@ def test_fused_occlusion_matches_sequential():
 
     assert np.asarray(do).any()  # occlusion actually exercised
     np.testing.assert_array_equal(fused, seq)
+
+
+def test_sharded_step_matches_single_device():
+    """GSPMD data parallelism must be semantics-preserving: the fused adapt
+    step gives the same losses/params on a 1-device vs 8-device mesh (global
+    kth-value mask, global-batch BN, gradient all-reduce)."""
+    model = pose_resnet50(num_keypoints=K)
+    rng = np.random.RandomState(7)
+    batch_np = _fake_batch(rng, with_teacher=True)
+
+    results = []
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        state = create_state(model, jax.random.PRNGKey(1), CFG, batch_size=2)
+        state = replicate(state, mesh)
+        batch = shard_batch(batch_np, mesh)
+        step = make_adapt_step(model, CFG, style_model=None)
+        state, metrics, _ = step(state, None, batch, jnp.float32(1e-3),
+                                 jax.random.PRNGKey(5),
+                                 jnp.bool_(False), jnp.float32(0.0),
+                                 jnp.bool_(False), jnp.float32(0.0))
+        # BN batch stats are a deterministic function of the global batch
+        stats_leaf = jax.tree_util.tree_leaves(state.student_stats)[0]
+        results.append((float(metrics["loss_all"]), float(metrics["loss_c"]),
+                        float(metrics["acc_s"]), np.asarray(stats_leaf)))
+    assert abs(results[0][0] - results[1][0]) < 1e-5
+    assert abs(results[0][1] - results[1][1]) < 1e-5
+    assert abs(results[0][2] - results[1][2]) < 1e-6
+    np.testing.assert_allclose(results[0][3], results[1][3], atol=1e-5)
+    # (post-Adam params are not compared: near-zero gradients make the Adam
+    # direction sign-sensitive to reduction order — expected fp behavior)

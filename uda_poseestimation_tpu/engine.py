@@ -188,18 +188,21 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
         state, metrics, y_s = pretrain_step(state, style_params, batch,
                                             jnp.float32(lr), jnp.bool_(do_s2t),
                                             jnp.float32(alpha))
-        loss = float(metrics["loss_all"])
-        _, avg_acc_s, cnt_s, pred_s = accuracy(np.asarray(y_s),
-                                               np.asarray(batch["target_s"]))
-        acc_s.update(avg_acc_s, cnt_s)
-        losses_all.update(loss, len(x_s))
-        losses_s.update(float(metrics["loss_s"]), len(x_s))
+        # metrics (incl. PCK) are computed on device; one small D2H fetch.
+        # (reading back the full y_s heatmaps every iteration costs more than
+        # the step itself on tunneled TPUs)
+        m = jax.device_get(metrics)
+        acc_s.update(float(m["acc_s"]), int(m["acc_cnt"]))
+        losses_all.update(float(m["loss_all"]), len(x_s))
+        losses_s.update(float(m["loss_s"]), len(x_s))
         batch_time.update(time.time() - end)
         end = time.time()
 
         if i % args.print_freq == 0:
             progress.display(i)
             if visualize is not None:
+                from .ops.pck import get_max_preds_np
+                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
                 ratio = args.image_size / args.heatmap_size
                 visualize(np.asarray(x_s)[0], pred_s[0] * ratio,
                           "source_{}_pred.jpg".format(i))
@@ -256,19 +259,20 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
                                          jnp.float32(lr), rng,
                                          jnp.bool_(do_s2t), jnp.float32(alpha_s2t),
                                          jnp.bool_(do_t2s), jnp.float32(alpha_t2s))
-        _, avg_acc_s, cnt_s, pred_s = accuracy(np.asarray(y_s),
-                                               np.asarray(batch["target_s"]))
+        m = jax.device_get(metrics)
         n = len(src[0])
-        acc_s.update(avg_acc_s, cnt_s)
-        losses_all.update(float(metrics["loss_all"]), n)
-        losses_s.update(float(metrics["loss_s"]), n)
-        losses_c.update(float(metrics["loss_c"]), n)
+        acc_s.update(float(m["acc_s"]), int(m["acc_cnt"]))
+        losses_all.update(float(m["loss_all"]), n)
+        losses_s.update(float(m["loss_s"]), n)
+        losses_c.update(float(m["loss_c"]), n)
         batch_time.update(time.time() - end)
         end = time.time()
 
         if i % args.print_freq == 0:
             progress.display(i)
             if visualize is not None:
+                from .ops.pck import get_max_preds_np
+                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
                 ratio = args.image_size / args.heatmap_size
                 visualize(np.asarray(src[0])[0], pred_s[0] * ratio,
                           "source_{}_pred.jpg".format(i))
@@ -290,18 +294,20 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
     heatmap_size = heatmap_size or args.heatmap_size
     end = time.time()
     for i, (x, label, weight, meta) in enumerate(val_loader):
-        y, loss = eval_step(params, stats, jnp.asarray(np.asarray(x, np.float32)),
-                            jnp.asarray(np.asarray(label, np.float32)),
-                            jnp.asarray(np.asarray(weight, np.float32)))
+        y, loss, acc_per_kpt = eval_step(
+            params, stats, jnp.asarray(np.asarray(x, np.float32)),
+            jnp.asarray(np.asarray(label, np.float32)),
+            jnp.asarray(np.asarray(weight, np.float32)))
+        loss, acc_per_kpt = jax.device_get((loss, acc_per_kpt))
         losses.update(float(loss), len(x))
-        acc_per_points, avg_acc, cnt, pred = accuracy(np.asarray(y),
-                                                      np.asarray(label, np.float32))
-        acc.update(acc_per_points, len(x))
+        acc.update(list(np.asarray(acc_per_kpt)), len(x))
         batch_time.update(time.time() - end)
         end = time.time()
         if i % args.val_print_freq == 0:
             progress.display(i)
             if visualize is not None:
+                from .ops.pck import get_max_preds_np
+                pred, _ = get_max_preds_np(np.asarray(y, np.float32))
                 ratio = image_size / heatmap_size
                 visualize(np.asarray(x)[0], pred[0] * ratio, "val_{}_pred.jpg".format(i))
                 visualize(np.asarray(x)[0], np.asarray(meta["keypoint2d"])[0],

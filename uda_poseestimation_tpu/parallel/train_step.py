@@ -404,11 +404,17 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
 
 
 def make_eval_step(model):
-    """Inference forward + loss (train_human.py:461-500 inner loop)."""
+    """Inference forward + loss + per-keypoint PCK (train_human.py:461-500).
+
+    PCK is computed on device (ops.pck.keypoint_pck_accuracy, parity-tested
+    against the host twin) so the validate loop only reads back scalars —
+    full heatmap readbacks are expensive on tunneled TPUs.
+    """
 
     def eval_fn(params, stats, x, label, weight):
         y = model.apply({"params": params, "batch_stats": stats}, x, train=False)
         loss = joints_mse_loss(y, label, weight[..., 0])
-        return y, loss
+        acc_per_kpt, _, _, _ = keypoint_pck_accuracy(y, label)
+        return y, loss, acc_per_kpt
 
     return jax.jit(eval_fn)
