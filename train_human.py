@@ -167,7 +167,6 @@ def main(args: argparse.Namespace):
         style_params = None
 
     pretrain_step = make_pretrain_step(model, cfg, style_model=style_model)
-    adapt_step = make_adapt_step(model, cfg, style_model=style_model)
     eval_step = make_eval_step(model)
 
     if args.device_aug:
@@ -198,8 +197,11 @@ def main(args: argparse.Namespace):
                                        mean=IMAGENET_MEAN, std=IMAGENET_STD,
                                        mesh=mesh,
                                        seed=args.seed if args.seed is not None else 0)
+        adapt_step = make_adapt_step(model, cfg, style_model=style_model,
+                                     view_builder=device_aug.view_builder)
     else:
         device_aug = None
+        adapt_step = make_adapt_step(model, cfg, style_model=style_model)
 
     start_epoch = 0
     if args.resume:

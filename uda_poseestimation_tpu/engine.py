@@ -97,6 +97,26 @@ class DeviceAugPipeline:
 
         self.prep_source = jax.jit(prep_source)
         self.prep_target = jax.jit(prep_target)
+        self._prep_source_raw = prep_source
+        self._prep_target_raw = prep_target
+
+    def view_builder(self, raw_batch, rng):
+        """Build the standard adapt-step batch from raw canvases, traceable
+        inside the fused step (pass to make_adapt_step(view_builder=...))."""
+        r_s, r_t = jax.random.split(rng)
+        img_s, tgt_s, w_s, _kp = self._prep_source_raw(
+            r_s, raw_batch["canvas_s"], raw_batch["kp_s"], raw_batch["vis_s"])
+        x_t_stu, aug_stu, x_t_teas, aug_teas = self._prep_target_raw(
+            r_t, raw_batch["canvas_t"], raw_batch["kp_t"], raw_batch["vis_t"])
+        return {"image_s": img_s, "target_s": tgt_s, "weight_s": w_s,
+                "image_t_stu": x_t_stu, "images_t_tea": x_t_teas,
+                "aug_param_stu": aug_stu, "aug_params_tea": aug_teas}
+
+    def raw_adapt_batch(self, src_tuple, tgt_tuple):
+        canvas_s, kp_s, vis_s = self.raw_source(src_tuple)
+        canvas_t, kp_t, vis_t = self.raw_target(tgt_tuple)
+        return {"canvas_s": canvas_s, "kp_s": kp_s, "vis_s": vis_s,
+                "canvas_t": canvas_t, "kp_t": kp_t, "vis_t": vis_t}
 
     def next_rng(self):
         self._n += 1
@@ -238,16 +258,10 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
         src = next(source_iter)
         tgt = next(target_iter)
         if device_aug is not None:
-            canvas, kp, vis = device_aug.raw_source(src)
-            img_s, tgt_s, w_s, kp_aug = device_aug.prep_source(
-                device_aug.next_rng(), canvas, kp, vis)
-            c_t, kp_t, vis_t = device_aug.raw_target(tgt)
-            x_t_stu, aug_stu, x_t_teas, aug_teas = device_aug.prep_target(
-                device_aug.next_rng(), c_t, kp_t, vis_t)
-            batch = {"image_s": img_s, "target_s": tgt_s, "weight_s": w_s,
-                     "image_t_stu": x_t_stu, "images_t_tea": x_t_teas,
-                     "aug_param_stu": aug_stu, "aug_params_tea": aug_teas}
-            src = (src[0], None, None, {"keypoint2d": kp_aug})
+            # raw canvases only; all views are generated inside the fused
+            # step (make_adapt_step(view_builder=...)) — one XLA dispatch
+            batch = device_aug.raw_adapt_batch(src, tgt)
+            src = (src[0], None, None, {"keypoint2d": None})
         else:
             batch = shard_batch(make_adapt_batch(src, tgt), mesh)
         data_time.update(time.time() - end)
@@ -276,8 +290,10 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
                 ratio = args.image_size / args.heatmap_size
                 visualize(np.asarray(src[0])[0], pred_s[0] * ratio,
                           "source_{}_pred.jpg".format(i))
-                visualize(np.asarray(src[0])[0], np.asarray(src[3]["keypoint2d"])[0],
-                          "source_{}_label.jpg".format(i))
+                if src[3].get("keypoint2d") is not None:
+                    visualize(np.asarray(src[0])[0],
+                              np.asarray(src[3]["keypoint2d"])[0],
+                              "source_{}_label.jpg".format(i))
     return state
 
 

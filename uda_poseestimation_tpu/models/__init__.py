@@ -13,6 +13,8 @@ from .pose_resnet import (
     backbone_param_mask,
     pose_resnet50,
     pose_resnet101,
+    trans_pose_resnet,
+    trans_pose_resnet50,
 )
 from .resnet import (
     ResNet,

@@ -145,6 +145,22 @@ def pose_resnet50(num_keypoints: int, pretrained_backbone: bool = True,
                         dtype=dtype, **kwargs)
 
 
+def trans_pose_resnet(num_keypoints, arch=None, **kwargs):  # pragma: no cover
+    """Registry parity stub: the reference's trans_pose_resnet
+    (pose_resnet.py:130-146) imports a module that does not exist upstream
+    (`.transpose_default`) and cannot be constructed there either."""
+    raise NotImplementedError(
+        "trans_pose_resnet is broken/dead code in the reference "
+        "(missing transpose_default module); kept only for registry parity")
+
+
+def trans_pose_resnet50(num_keypoints, arch=None, **kwargs):  # pragma: no cover
+    """Registry parity stub; see trans_pose_resnet."""
+    raise NotImplementedError(
+        "trans_pose_resnet50 is broken/dead code in the reference; "
+        "kept only for registry parity")
+
+
 def backbone_param_mask(params) -> Any:
     """Pytree mask: True for backbone params (for the reference's 0.1x
     finetune LR, pose_resnet.py:86-91), False elsewhere."""

@@ -314,12 +314,21 @@ def make_pretrain_step(model, cfg: StepConfig, style_model: Optional[StyleNet] =
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None):
-    """Mean-teacher adaptation step (train_human.py:305-458), fully fused."""
+def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None,
+                    view_builder=None):
+    """Mean-teacher adaptation step (train_human.py:305-458), fully fused.
+
+    With ``view_builder`` (the --device-aug path) the step consumes raw
+    canvases and generates all augmented views inside the same XLA program —
+    one dispatch per training iteration end to end.
+    """
     tx = make_tx(cfg.use_sgd)
 
     def step_fn(state: UDAState, style_params, batch, lr, rng,
                 do_s2t, alpha_s2t, do_t2s, alpha_t2s):
+        if view_builder is not None:
+            rng, r_views = jax.random.split(rng)
+            batch = view_builder(batch, r_views)
         x_s = batch["image_s"]          # (B, H, W, 3)
         x_s_ori = x_s
         x_t_stu = batch["image_t_stu"]  # (B, H, W, 3)
