@@ -340,17 +340,52 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
 
         # --- no-grad region: style transfer, teacher, occlusion -----------
         if style_model is not None:
-            x_s = _maybe_stylize(style_model, style_params, x_s, x_t_teas[0],
-                                 alpha_s2t, do_s2t, cfg)
-            x_t_teas = jax.lax.cond(
-                do_t2s,
-                lambda xs: jnp.stack([
-                    _clamp_styled(style_model.apply({"params": style_params}, xs[i],
-                                                    x_s_ori, alpha_t2s,
-                                                    method=StyleNet.stylize), cfg)
-                    for i in range(cfg.k)]),
-                lambda xs: xs,
-                x_t_teas)
+            # Both directions stylize against the ORIGINAL tensors
+            # (train_human.py:348-356: s2t uses x_t_teas_ori[0], t2s uses
+            # x_s_ori), so the VGG encodings are shared: encode each original
+            # once under a joint cond, decode per drawn direction. Halves the
+            # encoder cost when both directions fire (and scales with k).
+            def enc(x):
+                return style_model.apply({"params": style_params}, x,
+                                         method=StyleNet.encode)
+
+            def dec(t):
+                return style_model.apply({"params": style_params}, t,
+                                         method=StyleNet.decode).astype(jnp.float32)
+
+            from ..ops.adain import adain as adain_fn
+
+            any_style = jnp.logical_or(do_s2t, do_t2s)
+            feat_hw = cfg.image_size // 8
+            feat_shape = (x_s.shape[0], feat_hw, feat_hw, 512)
+
+            def encode_all(_):
+                return (enc(x_s_ori).astype(jnp.float32),
+                        jnp.stack([enc(x_t_teas[i]).astype(jnp.float32)
+                                   for i in range(cfg.k)]))
+
+            def zero_feats(_):
+                return (jnp.zeros(feat_shape, jnp.float32),
+                        jnp.zeros((cfg.k,) + feat_shape, jnp.float32))
+
+            f_s, f_ts = jax.lax.cond(any_style, encode_all, zero_feats, None)
+
+            def apply_s2t(x):
+                t = adain_fn(f_s, f_ts[0], data_format="NHWC")
+                t = alpha_s2t * t + (1.0 - alpha_s2t) * f_s
+                return _clamp_styled(dec(t), cfg)
+
+            x_s = jax.lax.cond(do_s2t, apply_s2t, lambda x: x, x_s)
+
+            def apply_t2s(xs):
+                outs = []
+                for i in range(cfg.k):
+                    t = adain_fn(f_ts[i], f_s, data_format="NHWC")
+                    t = alpha_t2s * t + (1.0 - alpha_t2s) * f_ts[i]
+                    outs.append(_clamp_styled(dec(t), cfg))
+                return jnp.stack(outs)
+
+            x_t_teas = jax.lax.cond(do_t2s, apply_t2s, lambda xs: xs, x_t_teas)
 
         # k teacher forwards in train mode; running stats chain through views
         tea_stats = state.teacher_stats
