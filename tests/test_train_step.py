@@ -195,3 +195,21 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(results[0][3], results[1][3], atol=1e-5)
     # (post-Adam params are not compared: near-zero gradients make the Adam
     # direction sign-sensitive to reduction order — expected fp behavior)
+
+
+def test_pretrain_step_with_style():
+    """Pretrain step with the s2t style branch active (cond path)."""
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    style = StyleNet()
+    state = create_state(model, jax.random.PRNGKey(4), CFG, batch_size=2)
+    state = replicate(state, mesh)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(5))["params"], mesh)
+    batch = shard_batch(_fake_batch(np.random.RandomState(4), with_teacher=False), mesh)
+    step = make_pretrain_step(model, CFG, style_model=style)
+    for do in (True, False):
+        state, metrics, y_s = step(state, style_params, batch, jnp.float32(1e-3),
+                                   jnp.bool_(do), jnp.float32(0.8))
+        assert np.isfinite(float(metrics["loss_all"])), do
