@@ -87,3 +87,54 @@ def test_multi_view_batch_shapes():
     assert float(out["image"].min()) < 0
     # two views differ
     assert not np.allclose(np.asarray(out["image"][0]), np.asarray(out["image"][1]))
+
+
+def test_animal_device_twins_match_host():
+    """mpii_transform_points / draw_labelmap match the host (reference-parity
+    tested) implementations exactly."""
+    from uda_poseestimation_tpu.data.util import (
+        draw_labelmap_ori, transform as host_transform)
+    from uda_poseestimation_tpu.ops.device_aug import (
+        draw_labelmap, mpii_transform_points)
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        c = rng.uniform(50, 350, 2)
+        s = float(rng.uniform(0.5, 2.5))
+        pts = rng.uniform(-50, 450, (7, 2)).astype(np.float32)
+        dev = np.asarray(mpii_transform_points(jnp.asarray(pts), jnp.asarray(c),
+                                               jnp.asarray(s), 16))
+        for i in range(7):
+            host = host_transform(pts[i], c, s, [16, 16])
+            np.testing.assert_array_equal(dev[i], host)
+
+    for label_type in ("Gaussian", "Cauchy"):
+        for _ in range(20):
+            pt = rng.randint(-5, 20, 2)
+            host_map, host_vis = draw_labelmap_ori(np.zeros((16, 16), np.float32),
+                                                   pt.astype(np.float32), 1,
+                                                   label_type=label_type)
+            dev_map, dev_vis = draw_labelmap(jnp.asarray(pt), 1.0, 16, label_type)
+            assert float(dev_vis) == host_vis
+            np.testing.assert_allclose(np.asarray(dev_map), host_map, atol=2e-6)
+
+
+def test_animal_augment_batch_shapes():
+    from uda_poseestimation_tpu.ops.device_aug import animal_augment_batch
+    cfg = DeviceAugConfig(image_size=64, heatmap_size=16, sigma=1.0,
+                          rotation=60.0, shear=(-30.0, 30.0),
+                          translate=(0.05, 0.05), scale=(0.6, 1.3), color=0.0)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    kp = jnp.asarray(rng.uniform(50, 350, (4, 18, 2)).astype(np.float32))
+    vis = jnp.ones((4, 18))
+    centers = jnp.asarray(rng.uniform(100, 300, (4, 2)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.8, 2.0, (4,)).astype(np.float32))
+    out = jax.jit(lambda r: animal_augment_batch(
+        r, images, kp, vis, centers, scales, cfg, n_views=2,
+        mean=[0.3999, 0.3909, 0.3871]))(jax.random.PRNGKey(2))
+    assert out["image"].shape == (2, 4, 64, 64, 3)
+    assert out["target"].shape == (2, 4, 18, 16, 16)
+    assert out["target_weight"].shape == (2, 4, 18, 1)
+    assert out["aug_param"].shape == (2, 4, 6)
+    assert np.isfinite(np.asarray(out["image"])).all()

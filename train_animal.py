@@ -60,16 +60,22 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         np.random.seed(args.seed)
         warnings.warn("You have chosen to seed training.")
 
-    tgt_train_transform_stu = T.Compose([
-        T.RandomAffineRotation(args.rotation_stu, args.shear_stu,
-                               args.translate_stu, args.scale_stu),
-        T.ToTensor(),
-    ])
-    tgt_train_transform_tea = T.Compose([
-        T.RandomAffineRotation(args.rotation_tea, args.shear_tea,
-                               args.translate_tea, args.scale_tea),
-        T.ToTensor(),
-    ])
+    if args.device_aug:
+        # raw-canvas target pipeline: views are generated on device
+        # (ops/device_aug.py animal twins; see AnimalDeviceAugPipeline)
+        tgt_train_transform_stu = T.Compose([T.IdentityAffine(), T.ToTensor()])
+        tgt_train_transform_tea = T.Compose([T.IdentityAffine(), T.ToTensor()])
+    else:
+        tgt_train_transform_stu = T.Compose([
+            T.RandomAffineRotation(args.rotation_stu, args.shear_stu,
+                                   args.translate_stu, args.scale_stu),
+            T.ToTensor(),
+        ])
+        tgt_train_transform_tea = T.Compose([
+            T.RandomAffineRotation(args.rotation_tea, args.shear_tea,
+                                   args.translate_tea, args.scale_tea),
+            T.ToTensor(),
+        ])
 
     train_source_dataset = datasets.__dict__[args.source](is_train=True, **vars(args))
     train_source_loader = DataLoader(train_source_dataset, batch_size=args.batch_size,
@@ -126,8 +132,29 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         style_params = None
 
     pretrain_step = make_pretrain_step(model, cfg, style_model=style_model)
-    adapt_step = make_adapt_step(model, cfg, style_model=style_model)
     eval_step = make_eval_step(model)
+    if args.device_aug:
+        from uda_poseestimation_tpu.engine import AnimalDeviceAugPipeline
+        from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+        common = dict(image_size=args.image_size, heatmap_size=args.heatmap_size,
+                      sigma=args.sigma, use_rrc=False, color=0.0)
+        aug_stu = DeviceAugConfig(rotation=args.rotation_stu,
+                                  shear=tuple(args.shear_stu),
+                                  translate=tuple(args.translate_stu),
+                                  scale=tuple(args.scale_stu), **common)
+        aug_tea = DeviceAugConfig(rotation=args.rotation_tea,
+                                  shear=tuple(args.shear_tea),
+                                  translate=tuple(args.translate_tea),
+                                  scale=tuple(args.scale_tea), **common)
+        device_aug = AnimalDeviceAugPipeline(
+            aug_stu, aug_tea, k=args.k, mean=ANIMAL_MEAN,
+            label_type=args.label_type, mesh=mesh,
+            seed=args.seed if args.seed is not None else 0)
+        adapt_step = make_adapt_step(model, cfg, style_model=style_model,
+                                     view_builder=device_aug.view_builder)
+    else:
+        device_aug = None
+        adapt_step = make_adapt_step(model, cfg, style_model=style_model)
 
     start_epoch = 0
     if args.resume:
@@ -214,7 +241,8 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                 state, style_params, adapt_step, mesh, train_source_iter,
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
-                style_enabled=style_model is not None)
+                style_enabled=style_model is not None,
+                device_aug=device_aug)
 
         if epoch < args.pretrain_epoch:
             eval_params, eval_stats = state.student_params, state.student_stats
@@ -372,6 +400,9 @@ def build_parser():
     parser.add_argument("--occlude-rate", type=float, default=0.5)
     parser.add_argument("--occlude-thresh", type=float, default=0.9, help="")
     parser.add_argument("--occlude-size", type=int, default=10, help="")
+    parser.add_argument("--device-aug", action="store_true",
+                        help="generate target mt views on device (TPU fast "
+                             "path; see ops/device_aug.py deviation note)")
     return parser
 
 

@@ -200,7 +200,10 @@ class Animal_Pose_mt(Animal_Pose):
         meta_stu = {"index": index, "center": c, "scale": s,
                     "aug_param_stu": aug_param_stu, "target_ori": target_ori,
                     "pts": pts_stu, "tpts": tpts_stu, "keypoint2d": tpts_inpres_stu,
-                    "target_weight_ori": target_weight_ori.astype(np.float32)}
+                    "target_weight_ori": target_weight_ori.astype(np.float32),
+                    # raw-canvas extras for --device-aug (additive keys)
+                    "canvas": inp, "vis": pts[:, 2].astype(np.float32),
+                    "kp_orig": pts[:, :2].astype(np.float32)}
 
         images_tea, targets_tea, target_weights_tea, metas_tea = [], [], [], []
         for _ in range(self.k):

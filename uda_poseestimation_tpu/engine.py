@@ -141,6 +141,63 @@ class DeviceAugPipeline:
                           np.asarray(meta["target_weight_ori"], np.float32)[..., 0]))
 
 
+class AnimalDeviceAugPipeline:
+    """--device-aug for the animal trainers: target mt views on device.
+
+    The animal source pipeline (imgaug + flip + legacy crop_ori) stays on the
+    host; the target mt student/teacher views — affine warp + original-frame
+    keypoint math + MPII-transform window-rule labelmaps — are generated
+    inside the fused step (device twins parity-tested against the host
+    implementations in tests/test_device_aug.py).
+    """
+
+    def __init__(self, cfg_stu, cfg_tea, k: int, mean, label_type: str = "Gaussian",
+                 mesh=None, seed: int = 0):
+        from .ops.device_aug import animal_augment_batch
+
+        self.k = k
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(seed)
+
+        def builder(raw_batch, rng):
+            r_stu, r_tea = jax.random.split(rng)
+            canvas = raw_batch["canvas_t"]
+            kp = raw_batch["kp_t"]
+            vis = raw_batch["vis_t"]
+            c = raw_batch["center_t"]
+            s = raw_batch["scale_t"]
+            stu = animal_augment_batch(r_stu, canvas, kp, vis, c, s, cfg_stu,
+                                       n_views=1, mean=mean, label_type=label_type)
+            tea = animal_augment_batch(r_tea, canvas, kp, vis, c, s, cfg_tea,
+                                       n_views=k, mean=mean, label_type=label_type)
+            return {"image_s": raw_batch["image_s"],
+                    "target_s": raw_batch["target_s"],
+                    "weight_s": raw_batch["weight_s"],
+                    "image_t_stu": stu["image"][0],
+                    "aug_param_stu": stu["aug_param"][0],
+                    "images_t_tea": tea["image"],
+                    "aug_params_tea": tea["aug_param"]}
+
+        self.view_builder = builder
+
+    def raw_adapt_batch(self, src_tuple, tgt_tuple):
+        x_s, label_s, weight_s, _meta = src_tuple
+        meta = tgt_tuple[3]
+        batch = {
+            "image_s": np.asarray(x_s, np.float32),
+            "target_s": np.asarray(label_s, np.float32),
+            "weight_s": np.asarray(weight_s, np.float32),
+            "canvas_t": np.asarray(meta["canvas"], np.float32) / 255.0,
+            "kp_t": np.asarray(meta["kp_orig"], np.float32),
+            "vis_t": np.asarray(meta["vis"], np.float32),
+            "center_t": np.asarray(meta["center"], np.float32),
+            "scale_t": np.asarray(meta["scale"], np.float32),
+        }
+        if self.mesh is None:
+            return {k_: jnp.asarray(v) for k_, v in batch.items()}
+        return shard_batch(batch, self.mesh)
+
+
 class StyleGate:
     """Host-side per-iteration Bernoulli + alpha draws (reference RNG order)."""
 

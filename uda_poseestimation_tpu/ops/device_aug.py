@@ -164,6 +164,99 @@ def augment_view(rng, image, keypoints, visible, cfg: DeviceAugConfig):
             "target_weight": weight, "aug_param": aug_param}
 
 
+# ---------------------------------------------------------------------------
+# Animal-family (Stacked-HG) device twins: MPII transform + window-rule labelmap
+# ---------------------------------------------------------------------------
+
+def mpii_transform_points(pts, center, scale, res: int):
+    """Device twin of data.util.transform (rot=0): original-frame points to
+    the res-sized crop frame, with the reference's exact -1/+1 offsets and
+    truncation-to-int rounding."""
+    h = 200.0 * scale
+    t00 = res / h
+    t02 = res * (-center[0] / h + 0.5)
+    t12 = res * (-center[1] / h + 0.5)
+    x = t00 * (pts[..., 0] - 1.0) + t02
+    y = t00 * (pts[..., 1] - 1.0) + t12
+    return jnp.stack([jnp.trunc(x), jnp.trunc(y)], -1).astype(jnp.int32) + 1
+
+
+def draw_labelmap(pt, sigma: float, out_res: int, label_type: str = "Gaussian"):
+    """Device twin of data.util.draw_labelmap_ori for one integer point.
+
+    Returns (map (out_res, out_res), vis_bit). Window-based border rule: the
+    whole 6*sigma+1 window must fit inside the map.
+    """
+    sigma_i = int(sigma)
+    tmp = 3 * sigma_i
+    pt = pt.astype(jnp.int32)
+    ul_x, ul_y = pt[0] - tmp, pt[1] - tmp
+    br_x, br_y = pt[0] + tmp + 1, pt[1] + tmp + 1
+    vis = jnp.logical_not((br_x >= out_res) | (br_y >= out_res)
+                          | (ul_x < 0) | (ul_y < 0))
+    ys = jax.lax.broadcasted_iota(jnp.int32, (out_res, out_res), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (out_res, out_res), 1)
+    dx = (xs - pt[0]).astype(jnp.float32)
+    dy = (ys - pt[1]).astype(jnp.float32)
+    if label_type == "Gaussian":
+        g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma ** 2))
+    else:  # Cauchy
+        g = sigma / ((dx * dx + dy * dy + sigma ** 2) ** 1.5)
+    window = (jnp.abs(xs - pt[0]) <= tmp) & (jnp.abs(ys - pt[1]) <= tmp)
+    g = jnp.where(window & vis, g, 0.0)
+    return g.astype(jnp.float32), vis.astype(jnp.float32)
+
+
+def animal_view(rng, image, kp_orig, vis, center, scale, cfg: DeviceAugConfig,
+                label_type: str = "Gaussian"):
+    """One animal mt view: affine on the crop canvas + original-frame keypoint
+    math + MPII-transform targets (real_animal_all_mt.py:250-322 semantics)."""
+    size = cfg.image_size
+    out_res = cfg.heatmap_size
+    k_aff = rng
+    angle, shx, shy, tx, ty, sc = _affine_params(k_aff, cfg, size)
+    coeffs = inverse_affine_coeffs(angle, tx, ty, shx, shy, sc)
+    warped = warp_affine(jnp.transpose(image, (2, 0, 1))[None], coeffs[None],
+                         mode="nearest")[0]
+    image = jnp.transpose(warped, (1, 2, 0))
+    # reference quirk: the affine keypoint math runs on ORIGINAL-frame coords
+    # with the canvas center convention
+    kp = affine_keypoints(jnp.asarray(kp_orig, jnp.float32), angle, shx, shy,
+                          tx, ty, sc, (size, size))
+    aug_param = jnp.stack([-angle, -tx, -ty, -shx, -shy, 1.0 / sc])
+
+    gate = kp[:, 1] > 0  # reference renders only when tpts[i, 1] > 0
+    tpts = mpii_transform_points(kp + 1.0, center, scale, out_res)
+
+    def per_joint(pt, v, g):
+        hm, win_vis = draw_labelmap(pt - 1, cfg.sigma, out_res, label_type)
+        hm = jnp.where(g, hm, 0.0)
+        weight = jnp.where(g, v * win_vis, v)
+        return hm, weight
+
+    target, weight = jax.vmap(per_joint)(tpts, jnp.asarray(vis, jnp.float32), gate)
+    return {"image": image, "keypoint2d": kp, "target": target,
+            "target_weight": weight[:, None], "aug_param": aug_param}
+
+
+def animal_augment_batch(rng, images, kp_orig, vis, centers, scales,
+                         cfg: DeviceAugConfig, n_views: int = 1, mean=None,
+                         label_type: str = "Gaussian"):
+    """Batched animal mt views: (n_views, B, ...) outputs; mean-only normalize."""
+    b = images.shape[0]
+    keys = jax.random.split(rng, n_views * b).reshape(n_views, b, -1)
+
+    def per_view(view_keys):
+        return jax.vmap(lambda k, im, kp, v, c, s: animal_view(
+            k, im, kp, v, c, s, cfg, label_type))(view_keys, images, kp_orig,
+                                                  vis, centers, scales)
+
+    out = jax.vmap(per_view)(keys)
+    if mean is not None:
+        out["image"] = out["image"] - jnp.asarray(mean, jnp.float32)
+    return out
+
+
 def rrc_view(rng, image, keypoints, cfg: DeviceAugConfig):
     """Shared RandomResizedCrop base view (the mt pipelines' transforms_base)."""
     size = cfg.image_size
