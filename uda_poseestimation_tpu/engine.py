@@ -365,15 +365,26 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
 
     image_size = image_size or args.image_size
     heatmap_size = heatmap_size or args.heatmap_size
+    pad_to = getattr(val_loader, "batch_size", None)
     end = time.time()
     for i, (x, label, weight, meta) in enumerate(val_loader):
+        x = np.asarray(x, np.float32)
+        label = np.asarray(label, np.float32)
+        weight = np.asarray(weight, np.float32)
+        n_real = len(x)
+        if pad_to and n_real < pad_to:
+            # pad the final partial batch to a stable shape (avoids a fresh
+            # XLA compile); padded rows have all-zero targets, which PCK
+            # excludes by the GT<=1 rule, so accuracy is unaffected
+            pad = pad_to - n_real
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
+            weight = np.concatenate([weight, np.zeros((pad,) + weight.shape[1:], weight.dtype)])
         y, loss, acc_per_kpt = eval_step(
-            params, stats, jnp.asarray(np.asarray(x, np.float32)),
-            jnp.asarray(np.asarray(label, np.float32)),
-            jnp.asarray(np.asarray(weight, np.float32)))
+            params, stats, jnp.asarray(x), jnp.asarray(label), jnp.asarray(weight))
         loss, acc_per_kpt = jax.device_get((loss, acc_per_kpt))
-        losses.update(float(loss), len(x))
-        acc.update(list(np.asarray(acc_per_kpt)), len(x))
+        losses.update(float(loss), n_real)
+        acc.update(list(np.asarray(acc_per_kpt)), n_real)
         batch_time.update(time.time() - end)
         end = time.time()
         if i % args.val_print_freq == 0:
