@@ -86,6 +86,10 @@ class StepConfig:
     # True -> reproduce the reference's 3 chained nearest resamples exactly;
     # False -> single fused resample (faster, smoother; deliberate deviation).
     exact_warp_chain: bool = True
+    # Use the Pallas one-hot MXU gather for the occlusion image warp on TPU
+    # (~1.6x over XLA's gather; hi/lo bf16 split -> ~4e-6 max abs deviation
+    # from the exact gather; see ops/pallas_warp.py and PERF.md).
+    pallas_gather: bool = True
 
     @property
     def ratio(self) -> float:
@@ -249,7 +253,7 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
         ys0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) - half
         xs0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) - half
 
-        def one(img, cb_i, c1_i, c2_i, c3_i, lt, up, ls, us, rb, bb):
+        def indices_one(cb_i, c1_i, c2_i, c3_i, lt, up, ls, us, rb, bb):
             valid = jnp.ones((h, w), bool)
             # backward warp index map (last applied)
             qx, qy, valid = compose_nearest_indices([cb_i], xs0, ys0, valid, h, w)
@@ -264,10 +268,23 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
                 [c1_i, c2_i, c3_i],
                 rc.astype(jnp.float32) - half, rr.astype(jnp.float32) - half,
                 valid, h, w)
-            return gather_nearest(img, fx, fy, valid, h, w)
+            return fx, fy, valid
 
-        occluded = jax.vmap(one)(imgs, cb, c1, c2, c3, left, upper,
-                                 left_src, upper_src, right, bottom)
+        fx, fy, valid = jax.vmap(indices_one)(cb, c1, c2, c3, left, upper,
+                                              left_src, upper_src, right, bottom)
+        # single-chip only for now: pallas_call does not auto-partition under
+        # GSPMD; a shard_map wrapper is the multi-chip path (future work)
+        use_pallas = (cfg.pallas_gather and jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
+        if use_pallas:
+            from ..ops.pallas_warp import warp_gather_onehot
+            ix = (fx + half).astype(jnp.int32).reshape(fx.shape[0], -1)
+            iy = (fy + half).astype(jnp.int32).reshape(fy.shape[0], -1)
+            occluded = warp_gather_onehot(imgs, ix, iy,
+                                          valid.reshape(valid.shape[0], -1))
+        else:
+            occluded = jax.vmap(lambda img, x_, y_, v_: gather_nearest(
+                img, x_, y_, v_, h, w))(imgs, fx, fy, valid)
     else:
         warped = forward_warp_images(imgs, aug_param_stu, cfg.ratio, fused=True)
         pasted = jax.vmap(_paste_patch)(warped, left, right, upper, bottom,
