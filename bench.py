@@ -69,7 +69,7 @@ def main():
         "aug_params_tea": np.stack([aug] * K_VIEWS),
     }, mesh)
 
-    step = make_adapt_step(model, cfg, style_model=style)
+    step = make_adapt_step(model, cfg, style_model=style, mesh=mesh)
 
     def run(state, i):
         return step(state, style_params, batch, jnp.float32(1e-4),

@@ -201,3 +201,22 @@ def test_pallas_warp_gather_interpret():
     ref = warp_affine_chain(hms, angle, tx, ty, shx, shy, scale, mode="nearest")
     got = warp_gather_onehot(hms, ix, iy, valid, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_warp_sharded_interpret():
+    """shard_map wrapper over the batch axis equals the unsharded kernel."""
+    import jax
+    from uda_poseestimation_tpu.ops.pallas_warp import (
+        warp_gather_onehot, warp_gather_onehot_sharded)
+    from uda_poseestimation_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(13)
+    B_, K_, H_, W_ = 8, 4, 16, 16
+    hms = jnp.asarray(rng.rand(B_, K_, H_, W_).astype(np.float32))
+    ix = jnp.asarray(rng.randint(0, W_, (B_, H_ * W_)), jnp.int32)
+    iy = jnp.asarray(rng.randint(0, H_, (B_, H_ * W_)), jnp.int32)
+    valid = jnp.asarray(rng.rand(B_, H_ * W_) > 0.1)
+    ref = warp_gather_onehot(hms, ix, iy, valid, interpret=True)
+    mesh = make_mesh(8)
+    got = warp_gather_onehot_sharded(hms, ix, iy, valid, mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

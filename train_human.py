@@ -198,10 +198,11 @@ def main(args: argparse.Namespace):
                                        mesh=mesh,
                                        seed=args.seed if args.seed is not None else 0)
         adapt_step = make_adapt_step(model, cfg, style_model=style_model,
-                                     view_builder=device_aug.view_builder)
+                                     view_builder=device_aug.view_builder,
+                                     mesh=mesh)
     else:
         device_aug = None
-        adapt_step = make_adapt_step(model, cfg, style_model=style_model)
+        adapt_step = make_adapt_step(model, cfg, style_model=style_model, mesh=mesh)
 
     start_epoch = 0
     if args.resume:

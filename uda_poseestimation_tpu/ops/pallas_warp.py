@@ -52,6 +52,29 @@ def _warp_kernel(tile: int, hm_ref, ix_ref, iy_ref, valid_ref, out_ref):
     out_ref[0, :, sl] = jnp.where(valid_ref[0, :, sl] != 0, out, 0.0)
 
 
+def warp_gather_onehot_sharded(hms, ix, iy, valid, mesh, axis_name: str = "data",
+                               interpret: bool = False):
+    """Run the one-hot gather under shard_map over the batch axis.
+
+    pallas_call does not auto-partition under GSPMD; this wrapper maps the
+    kernel over per-device batch shards (the gather is embarrassingly
+    parallel over the batch), making it usable inside multi-chip jitted
+    steps.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis_name)
+
+    def local(h, x_, y_, v_):
+        return warp_gather_onehot(h, x_, y_, v_, interpret=interpret)
+
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
+    # metadata, which the default strict check requires
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(spec, spec, spec, spec),
+                         out_specs=spec, check_vma=False)(hms, ix, iy, valid)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def warp_gather_onehot(hms, ix, iy, valid, interpret: bool = False):
     """Gather hms[b, k, iy[b,p], ix[b,p]] via the one-hot MXU kernel.

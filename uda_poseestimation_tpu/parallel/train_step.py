@@ -272,16 +272,22 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
 
         fx, fy, valid = jax.vmap(indices_one)(cb, c1, c2, c3, left, upper,
                                               left_src, upper_src, right, bottom)
-        # single-chip only for now: pallas_call does not auto-partition under
-        # GSPMD; a shard_map wrapper is the multi-chip path (future work)
+        # pallas_call does not auto-partition under GSPMD: single chip calls
+        # it directly; multi-chip goes through a shard_map over the batch axis
         use_pallas = (cfg.pallas_gather and jax.default_backend() == "tpu"
-                      and jax.device_count() == 1)
+                      and (jax.device_count() == 1 or mesh is not None))
         if use_pallas:
-            from ..ops.pallas_warp import warp_gather_onehot
+            from ..ops.pallas_warp import (
+                warp_gather_onehot,
+                warp_gather_onehot_sharded,
+            )
             ix = (fx + half).astype(jnp.int32).reshape(fx.shape[0], -1)
             iy = (fy + half).astype(jnp.int32).reshape(fy.shape[0], -1)
-            occluded = warp_gather_onehot(imgs, ix, iy,
-                                          valid.reshape(valid.shape[0], -1))
+            v_flat = valid.reshape(valid.shape[0], -1)
+            if jax.device_count() > 1 and mesh is not None:
+                occluded = warp_gather_onehot_sharded(imgs, ix, iy, v_flat, mesh)
+            else:
+                occluded = warp_gather_onehot(imgs, ix, iy, v_flat)
         else:
             occluded = jax.vmap(lambda img, x_, y_, v_: gather_nearest(
                 img, x_, y_, v_, h, w))(imgs, fx, fy, valid)
@@ -332,12 +338,13 @@ def make_pretrain_step(model, cfg: StepConfig, style_model: Optional[StyleNet] =
 
 
 def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None,
-                    view_builder=None):
+                    view_builder=None, mesh=None):
     """Mean-teacher adaptation step (train_human.py:305-458), fully fused.
 
     With ``view_builder`` (the --device-aug path) the step consumes raw
     canvases and generates all augmented views inside the same XLA program —
-    one dispatch per training iteration end to end.
+    one dispatch per training iteration end to end. Pass ``mesh`` to run the
+    Pallas occlusion gather under shard_map on multi-chip meshes.
     """
     tx = make_tx(cfg.use_sgd)
 
