@@ -256,3 +256,48 @@ def test_animal_pose_eval(tmp_path, monkeypatch):
     inp, target, weight, meta = ds[0]
     assert inp.shape == (64, 64, 3) and target.shape == (14, 16, 16)
     assert np.isfinite(inp).all()
+
+
+def test_human36m_preprocess(tmp_path):
+    """The official-annotation preprocessing path (crop/reproject/resize)."""
+    root = tmp_path / "h36m_raw"
+    (root / "annotations").mkdir(parents=True)
+    (root / "images").mkdir()
+    rng = np.random.RandomState(6)
+    part = 9
+    images_meta, joints = [], {}
+    cam = {"1": {"R": np.eye(3).tolist(), "t": [0.0, 0.0, 4000.0],
+                 "f": [1100.0, 1100.0], "c": [500.0, 500.0]}}
+    for i in range(10):
+        fname = f"s{part}/f{i}.jpg"
+        (root / "images" / f"s{part}").mkdir(exist_ok=True)
+        Image.fromarray((rng.rand(1000, 1000, 3) * 255).astype(np.uint8)).save(
+            root / "images" / fname)
+        images_meta.append({"file_name": fname, "action_idx": 2,
+                            "subaction_idx": 1, "frame_idx": i, "cam_idx": 1})
+        # 17 raw joints in world mm, near the camera axis
+        joints.setdefault("2", {}).setdefault("1", {})[str(i)] = (
+            rng.uniform(-300, 300, (17, 3))).tolist()
+    with open(root / "annotations" / f"Human36M_subject{part}_camera.json", "w") as f:
+        json.dump(cam, f)
+    with open(root / "annotations" / f"Human36M_subject{part}_data.json", "w") as f:
+        json.dump({"images": images_meta}, f)
+    with open(root / "annotations" / f"Human36M_subject{part}_joint_3d.json", "w") as f:
+        json.dump(joints, f)
+
+    from uda_poseestimation_tpu.data.human36m import _preprocess
+    _preprocess(part, str(root))
+    out = root / "annotations" / f"keypoints2d_{part}.json"
+    assert out.exists()
+    with open(out) as f:
+        data = json.load(f)
+    assert len(data) == 2  # every 5th of 10 frames
+    sample = data[0]
+    assert len(sample["keypoint2d"]) == 16
+    crop_img = root / "crop_images" / sample["name"]
+    assert crop_img.exists()
+    with Image.open(crop_img) as im:
+        assert im.size == (512, 512)
+    # keypoints must land inside the 512 crop
+    kp = np.array(sample["keypoint2d"])
+    assert (kp > -50).all() and (kp < 562).all()
