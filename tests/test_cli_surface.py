@@ -1,0 +1,60 @@
+"""The canonical `script` command lines must parse through our argparsers —
+the reference's public CLI contract (including --lambda_t, which upstream's
+parser would actually reject; SURVEY.md §2.1)."""
+
+import os
+import shlex
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _canonical_commands():
+    with open(os.path.join(REPO, "script")) as f:
+        lines = [line.strip() for line in f
+                 if line.strip() and not line.startswith("#")]
+    return lines
+
+
+@pytest.mark.parametrize("cmd", _canonical_commands())
+def test_script_commands_parse(cmd):
+    parts = shlex.split(cmd)
+    prog, argv = parts[1], parts[2:]
+    if prog == "train_human.py":
+        from train_human import build_parser
+    elif prog in ("train_animal.py", "train_animal_other.py"):
+        from train_animal import build_parser
+    else:  # pragma: no cover
+        pytest.skip(f"unknown program {prog}")
+    args = build_parser().parse_args(argv)
+    # spot-check load-bearing flags survived parsing
+    assert args.pretrain_epoch == 40
+    assert args.batch_size == 32
+    assert args.mask_ratio == 0.5
+    assert args.occlude_thresh == 0.9
+    assert args.s2t_freq == 0.5 and args.t2s_freq == 0.5
+    if prog == "train_human.py":
+        assert args.lambda_t == 0.0  # parsed-and-ignored legacy flag
+
+
+def test_arch_registry_matches_reference_names():
+    import uda_poseestimation_tpu.models as models
+    names = {n for n in models.__dict__
+             if n.islower() and not n.startswith("__") and callable(models.__dict__[n])}
+    for required in ("pose_resnet50", "pose_resnet101", "resnet18", "resnet34",
+                     "resnet50", "resnet101", "resnet152", "resnext50_32x4d",
+                     "resnext101_32x8d", "wide_resnet50_2", "wide_resnet101_2",
+                     "trans_pose_resnet", "trans_pose_resnet50"):
+        assert required in names, required
+
+
+def test_dataset_registry_matches_reference_names():
+    import uda_poseestimation_tpu.data as datasets
+    for required in ("RenderedHandPose", "Hand3DStudio", "Hand3DStudioAll",
+                     "RenderedHandPose_mt", "Hand3DStudio_mt", "Hand3DStudioAll_mt",
+                     "FreiHand", "real_animal_all", "real_animal_all_mt",
+                     "animal_pose", "animal_pose_mt", "synthetic_animal_sp_all",
+                     "synthetic_animal_sp_all_other", "SURREAL", "LSP", "LSP_mt",
+                     "Human36M", "Human36M_mt"):
+        assert callable(datasets.__dict__[required]), required
