@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data.loader import ForeverDataIterator
-from .ops.pck import accuracy
 from .parallel.mesh import shard_batch
 from .utils.meter import AverageMeter, AverageMeterList, ProgressMeter
 

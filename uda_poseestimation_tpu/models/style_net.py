@@ -23,7 +23,7 @@ caller; no BatchNorm so there is no mutable state).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

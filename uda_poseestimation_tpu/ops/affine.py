@@ -30,7 +30,6 @@ parameters the trainer later feeds to the inverse warp chain.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
