@@ -58,3 +58,23 @@ def test_dataset_registry_matches_reference_names():
                      "synthetic_animal_sp_all_other", "SURREAL", "LSP", "LSP_mt",
                      "Human36M", "Human36M_mt"):
         assert callable(datasets.__dict__[required]), required
+
+
+def test_adain_cli_commands_parse():
+    """The README's AdaIN pretraining commands parse (README.md:67-75)."""
+    import shlex
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "adain", "train"))
+    from adain.train.train_human import build_parser as human_parser
+    from adain.train.train_animal import build_parser as animal_parser
+
+    human_cmd = ("--source SURREAL --target Human36M_mt --source_root /x "
+                 "--target_root /y --exp_name s2h_0_1 --style_weight 0.1")
+    args = human_parser().parse_args(shlex.split(human_cmd))
+    assert args.style_weight == 0.1 and args.exp_name == "s2h_0_1"
+
+    animal_cmd = ("--image-path ../animal_data --source synthetic_animal_sp_all "
+                  "--target real_animal_all --target_ssl real_animal_all_mt "
+                  "--train_on_all_cat --exp_name syn2td_0_1 --style_weight 0.1")
+    args = animal_parser().parse_args(shlex.split(animal_cmd))
+    assert args.train_on_all_cat and args.style_weight == 0.1

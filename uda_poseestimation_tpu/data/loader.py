@@ -106,6 +106,10 @@ class ForeverDataIterator:
         try:
             return next(self.iter)
         except StopIteration:
+            if len(self.data_loader) == 0:
+                raise RuntimeError(
+                    "ForeverDataIterator wraps an empty loader (dataset "
+                    "smaller than batch_size with drop_last=True?)") from None
             self.iter = iter(self.data_loader)
             return next(self.iter)
 
