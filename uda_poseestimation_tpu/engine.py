@@ -366,6 +366,30 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
     heatmap_size = heatmap_size or args.heatmap_size
     pad_to = getattr(val_loader, "batch_size", None)
     end = time.time()
+
+    # one-deep software pipeline: dispatch batch i before reading back batch
+    # i-1's scalars, hiding dispatch/readback latency (significant on
+    # tunneled TPUs, harmless elsewhere — results are jax futures anyway)
+    pending = None
+
+    def flush(pending_item):
+        nonlocal end
+        (i, n_real, x_np, y, loss, acc_per_kpt, meta) = pending_item
+        loss, acc_per_kpt = jax.device_get((loss, acc_per_kpt))
+        losses.update(float(loss), n_real)
+        acc.update(list(np.asarray(acc_per_kpt)), n_real)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % args.val_print_freq == 0:
+            progress.display(i)
+            if visualize is not None:
+                from .ops.pck import get_max_preds_np
+                pred, _ = get_max_preds_np(np.asarray(y, np.float32))
+                ratio = image_size / heatmap_size
+                visualize(x_np[0], pred[0] * ratio, "val_{}_pred.jpg".format(i))
+                visualize(x_np[0], np.asarray(meta["keypoint2d"])[0],
+                          "val_{}_label.jpg".format(i))
+
     for i, (x, label, weight, meta) in enumerate(val_loader):
         x = np.asarray(x, np.float32)
         label = np.asarray(label, np.float32)
@@ -381,18 +405,9 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
             weight = np.concatenate([weight, np.zeros((pad,) + weight.shape[1:], weight.dtype)])
         y, loss, acc_per_kpt = eval_step(
             params, stats, jnp.asarray(x), jnp.asarray(label), jnp.asarray(weight))
-        loss, acc_per_kpt = jax.device_get((loss, acc_per_kpt))
-        losses.update(float(loss), n_real)
-        acc.update(list(np.asarray(acc_per_kpt)), n_real)
-        batch_time.update(time.time() - end)
-        end = time.time()
-        if i % args.val_print_freq == 0:
-            progress.display(i)
-            if visualize is not None:
-                from .ops.pck import get_max_preds_np
-                pred, _ = get_max_preds_np(np.asarray(y, np.float32))
-                ratio = image_size / heatmap_size
-                visualize(np.asarray(x)[0], pred[0] * ratio, "val_{}_pred.jpg".format(i))
-                visualize(np.asarray(x)[0], np.asarray(meta["keypoint2d"])[0],
-                          "val_{}_label.jpg".format(i))
+        if pending is not None:
+            flush(pending)
+        pending = (i, n_real, x, y, loss, acc_per_kpt, meta)
+    if pending is not None:
+        flush(pending)
     return val_loader.dataset.group_accuracy(acc.average())
