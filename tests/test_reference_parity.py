@@ -188,3 +188,89 @@ def test_schedules_match_reference(ref_trainer_utils):
     for cur in (0, 3.5, 10, 20):
         assert abs(sigmoid_rampup(cur, 10) - ref_trainer_utils.sigmoid_rampup(cur, 10)) < 1e-12
         assert abs(cosine_rampdown(cur, 10) - ref_trainer_utils.cosine_rampdown(cur, 10)) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def ref_transforms():
+    """Load lib/transforms/keypoint_detection.py with torchvision stubbed out
+    (only the keypoint math and PIL-side helpers are exercised)."""
+    import types
+    from PIL import Image
+
+    tv = types.ModuleType("torchvision")
+    tf = types.ModuleType("torchvision.transforms")
+    func = types.ModuleType("torchvision.transforms.functional")
+    trans = types.ModuleType("torchvision.transforms.transforms")
+
+    class _Stub:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, image):
+            return image
+
+    func.affine = lambda image, angle, translate, shear, scale: image
+    func.resize = lambda image, size, *a, **k: (
+        image.resize((size, size)) if isinstance(size, int) else image)
+    func.crop = lambda image, top, left, h, w: image.crop(
+        (left, top, left + w, top + h))
+    func.hflip = lambda image: image.transpose(Image.FLIP_LEFT_RIGHT)
+    func.rotate = lambda image, angle: image.rotate(angle)
+    trans.ToTensor = _Stub
+    trans.Normalize = _Stub
+    trans.ColorJitter = _Stub
+    trans.RandomTransforms = _Stub
+    tv.transforms = tf
+    tf.functional = func
+    tf.transforms = trans
+    for name, mod in (("torchvision", tv), ("torchvision.transforms", tf),
+                      ("torchvision.transforms.functional", func),
+                      ("torchvision.transforms.transforms", trans)):
+        sys.modules[name] = mod
+    try:
+        yield _load("ref_T", os.path.join(REF, "lib/transforms/keypoint_detection.py"))
+    finally:
+        for name in ("torchvision", "torchvision.transforms",
+                     "torchvision.transforms.functional",
+                     "torchvision.transforms.transforms"):
+            sys.modules.pop(name, None)
+
+
+def test_affine_keypoint_math_matches_reference(ref_transforms):
+    from PIL import Image
+    from uda_poseestimation_tpu.data.transforms import affine as our_affine
+
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(np.zeros((256, 256, 3), np.uint8))
+    for _ in range(10):
+        kp = rng.uniform(-50, 300, (21, 2)).astype(np.float64)
+        angle = float(rng.uniform(-170, 170))
+        shx, shy = rng.uniform(-30, 30, 2)
+        tx, ty = int(rng.uniform(-12, 12)), int(rng.uniform(-12, 12))
+        scale = float(rng.uniform(0.6, 1.3))
+        _, ref_kp, ref_aug = ref_transforms.affine(img, angle, shx, shy, tx, ty,
+                                                   scale, kp)
+        _, our_kp, our_aug = our_affine(img, angle, shx, shy, tx, ty, scale, kp)
+        np.testing.assert_allclose(our_kp, ref_kp, atol=1e-9)
+        ref_flat = [ref_aug[0], *ref_aug[1], *ref_aug[2], ref_aug[3]]
+        np.testing.assert_allclose(our_aug, ref_flat, atol=1e-9)
+
+
+def test_rotate_and_resizepad_match_reference(ref_transforms):
+    from PIL import Image
+    from uda_poseestimation_tpu.data.transforms import (
+        resize_pad as our_resize_pad, rotate as our_rotate)
+
+    rng = np.random.RandomState(8)
+    img = Image.fromarray((rng.rand(256, 256, 3) * 255).astype(np.uint8))
+    kp = rng.uniform(0, 250, (16, 2))
+    _, ref_kp = ref_transforms.rotate(img, 33.0, kp)
+    _, our_kp = our_rotate(img, 33.0, kp)
+    np.testing.assert_allclose(our_kp, ref_kp, atol=1e-9)
+
+    tall = Image.fromarray((rng.rand(200, 120, 3) * 255).astype(np.uint8))
+    kp2 = rng.uniform(0, 100, (16, 2))
+    ref_img, ref_kp2 = ref_transforms.resize_pad(tall, kp2.copy(), 256)
+    our_img, our_kp2 = our_resize_pad(tall, kp2.copy(), 256)
+    np.testing.assert_allclose(our_kp2, ref_kp2, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(our_img), np.asarray(ref_img))
