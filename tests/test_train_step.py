@@ -197,6 +197,120 @@ def test_sharded_step_matches_single_device():
     # direction sign-sensitive to reduction order — expected fp behavior)
 
 
+def test_adapt_step_multichip_pallas_branch():
+    """Regression for the round-1 unbound-`mesh` NameError: the EXACT
+    multi-chip Pallas occlusion branch (shard_map over the 8-device mesh)
+    must trace and execute. gather_impl='pallas' + interpret=True runs the
+    real kernel wrapper on the CPU mesh."""
+    cfg = StepConfig(image_size=64, heatmap_size=16, sigma=2.0, k=1,
+                     occlude_rate=1.0, occlude_thresh=0.0,
+                     gather_impl="pallas", pallas_interpret=True)
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    state = replicate(create_state(model, jax.random.PRNGKey(6), cfg,
+                                   batch_size=2), mesh)
+    rng = np.random.RandomState(12)
+    batch = _fake_batch(rng, with_teacher=True)
+    batch["images_t_tea"] = batch["images_t_tea"][:1]
+    batch["aug_params_tea"] = batch["aug_params_tea"][:1]
+    batch = shard_batch(batch, mesh)
+    step = make_adapt_step(model, cfg, style_model=None, mesh=mesh)
+    state, metrics, _ = step(state, None, batch, jnp.float32(1e-3),
+                             jax.random.PRNGKey(13),
+                             jnp.bool_(False), jnp.float32(0.0),
+                             jnp.bool_(False), jnp.float32(0.0))
+    assert np.isfinite(float(metrics["loss_all"]))
+
+    # and the pallas (interpret) occlusion output must equal the exact XLA
+    # gather path bit for bit in interpret mode (f32 dots, exact one-hots)
+    from uda_poseestimation_tpu.parallel.train_step import _occlude_batch
+    cfg_x = StepConfig(image_size=64, heatmap_size=16, sigma=2.0, k=1,
+                       occlude_rate=1.0, occlude_thresh=0.0,
+                       gather_impl="xla")
+    hm = rng.rand(B, K, 16, 16).astype(np.float32)
+    key = jax.random.PRNGKey(14)
+    imgs = np.asarray(jax.device_get(batch["image_t_stu"]))
+    aug = np.asarray(jax.device_get(batch["aug_param_stu"]))
+    out_p = np.asarray(_occlude_batch(
+        key, shard_batch(imgs, mesh), jnp.asarray(hm), jnp.asarray(aug),
+        cfg, mesh=mesh))
+    out_x = np.asarray(_occlude_batch(
+        key, jnp.asarray(imgs), jnp.asarray(hm), jnp.asarray(aug), cfg_x))
+    np.testing.assert_allclose(out_p, out_x, atol=1e-6)
+
+
+def test_finetune_scales_backbone_lr():
+    """cfg.finetune=True must scale backbone updates by exactly 0.1 (the
+    reference's get_parameters param groups, lib/models/pose_resnet.py:86-91)
+    while head/upsampling updates are unchanged. Adam's direction is
+    lr-independent, so first-step deltas compare exactly."""
+    import dataclasses
+
+    mesh = make_mesh(1)
+    model = pose_resnet50(num_keypoints=K, finetune=True)
+    batch = shard_batch(_fake_batch(np.random.RandomState(21),
+                                    with_teacher=False), mesh)
+    deltas = {}
+    for ft in (False, True):
+        cfg = dataclasses.replace(CFG, finetune=ft)
+        state = replicate(create_state(model, jax.random.PRNGKey(8), cfg,
+                                       batch_size=2), mesh)
+        p0 = jax.device_get(state.student_params)
+        step = make_pretrain_step(model, cfg, style_model=None)
+        state, _, _ = step(state, None, batch, jnp.float32(1e-3),
+                           jnp.bool_(False), jnp.float32(0.0))
+        p1 = jax.device_get(state.student_params)
+        deltas[ft] = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(b) - np.asarray(a), p0, p1)
+    # The two cfgs compile to different XLA programs, so near-zero gradients
+    # can flip the Adam direction's SIGN between runs (fp reduction order —
+    # same caveat as test_sharded_step_matches_single_device); |direction| is
+    # ~1 regardless, so compare magnitudes.
+    np.testing.assert_allclose(
+        np.abs(deltas[True]["backbone"]["conv1"]["kernel"]),
+        0.1 * np.abs(deltas[False]["backbone"]["conv1"]["kernel"]), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.abs(deltas[True]["head"]["kernel"]),
+        np.abs(deltas[False]["head"]["kernel"]), rtol=1e-3)
+
+
+def test_no_unbound_globals_in_package():
+    """symtable lint over every package module: any name a function resolves
+    to module scope must actually be bound there (or be a builtin). Would
+    have caught round 1's `mesh` NameError, which only manifested at trace
+    time on multi-chip TPUs (no test/bench config reached the branch)."""
+    import builtins
+    import pathlib
+    import symtable
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "uda_poseestimation_tpu"
+    builtin_names = set(dir(builtins)) | {"__file__", "__name__", "__doc__",
+                                          "__package__", "__spec__",
+                                          "__loader__", "__builtins__"}
+    failures = []
+    for path in sorted(pkg.rglob("*.py")):
+        src = path.read_text()
+        top = symtable.symtable(src, str(path), "exec")
+        module_bound = {s.get_name() for s in top.get_symbols()
+                        if s.is_assigned() or s.is_imported()}
+
+        def walk(table):
+            if table.get_type() in ("function", "lambda"):
+                for s in table.get_symbols():
+                    if (s.is_global() and s.is_referenced()
+                            and not s.is_assigned()
+                            and s.get_name() not in module_bound
+                            and s.get_name() not in builtin_names):
+                        failures.append(
+                            f"{path.name}: '{s.get_name()}' free in "
+                            f"{table.get_name()}:{table.get_lineno()}")
+            for child in table.get_children():
+                walk(child)
+
+        walk(top)
+    assert not failures, "\n".join(failures)
+
+
 def test_pretrain_step_with_style():
     """Pretrain step with the s2t style branch active (cond path)."""
     mesh = make_mesh(8)
@@ -213,3 +327,54 @@ def test_pretrain_step_with_style():
         state, metrics, y_s = step(state, style_params, batch, jnp.float32(1e-3),
                                    jnp.bool_(do), jnp.float32(0.8))
         assert np.isfinite(float(metrics["loss_all"])), do
+
+
+def test_run_validate_sharded_matches_single_device():
+    """Sharded validation (mesh over 8 devices, padded batches) must produce
+    the same group PCK and mean loss as the unsharded loop — including a
+    final partial batch."""
+    from types import SimpleNamespace
+
+    from uda_poseestimation_tpu.engine import run_validate
+
+    class FakeDataset:
+        num_keypoints = K
+
+        def group_accuracy(self, accs):
+            return accs
+
+    class FakeLoader:
+        batch_size = 6  # deliberately NOT divisible by 8
+        dataset = FakeDataset()
+
+        def __init__(self, batches):
+            self.batches = batches
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    rng = np.random.RandomState(33)
+    from uda_poseestimation_tpu.ops import generate_target_batch
+
+    def mk(n):
+        kp = rng.uniform(8, 56, size=(n, K, 2)).astype(np.float32)
+        vis = np.ones((n, K), np.float32)
+        t, w = generate_target_batch(kp, vis, (16, 16), 2, (64, 64))
+        return (rng.rand(n, 64, 64, 3).astype(np.float32), np.asarray(t),
+                np.asarray(w), {"keypoint2d": kp})
+
+    batches = [mk(6), mk(6), mk(3)]  # partial final batch
+    model = pose_resnet50(num_keypoints=K)
+    state = create_state(model, jax.random.PRNGKey(2), CFG, batch_size=2)
+    ev = make_eval_step(model)
+    args = SimpleNamespace(image_size=64, heatmap_size=16, val_print_freq=100)
+
+    accs_ref = run_validate(ev, state.student_params, state.student_stats,
+                            FakeLoader(batches), args)
+    accs_sh = run_validate(ev, state.student_params, state.student_stats,
+                           FakeLoader(batches), args, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(accs_sh), np.asarray(accs_ref),
+                               atol=1e-5)

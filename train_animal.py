@@ -118,6 +118,10 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                      use_sgd=args.SGD)
     model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
                                        dtype=jnp.bfloat16)
+    if getattr(model, "finetune", False):
+        # ctor flag -> 0.1x backbone lr (reference get_parameters groups)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, finetune=True)
     mesh = make_mesh()
     rng = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
     state = replicate(create_state(model, rng, cfg, batch_size=2), mesh)
@@ -190,10 +194,10 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                                        logger.get_image_path("{}.jpg".format(name)))
 
     def validate_all(params, stats, debug_visualize):
-        source_acc = run_validate(eval_step, params, stats, val_source_loader, args)
-        target_acc = run_validate(eval_step, params, stats, val_target_loader, args,
+        source_acc = run_validate(eval_step, params, stats, val_source_loader, args, mesh=mesh)
+        target_acc = run_validate(eval_step, params, stats, val_target_loader, args, mesh=mesh,
                                   visualize=debug_visualize)
-        cat_accs = [(cat, run_validate(eval_step, params, stats, loader, args,
+        cat_accs = [(cat, run_validate(eval_step, params, stats, loader, args, mesh=mesh,
                                        visualize=debug_visualize))
                     for cat, loader in per_cat_loaders]
         return source_acc, target_acc, cat_accs

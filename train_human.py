@@ -152,6 +152,10 @@ def main(args: argparse.Namespace):
                      use_sgd=args.SGD)
     model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
                                        dtype=jnp.bfloat16)
+    if getattr(model, "finetune", False):
+        # ctor flag -> 0.1x backbone lr (reference get_parameters groups)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, finetune=True)
     mesh = make_mesh()
     rng = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
     state = replicate(create_state(model, rng, cfg, batch_size=2), mesh)
@@ -172,6 +176,16 @@ def main(args: argparse.Namespace):
     if args.device_aug:
         from uda_poseestimation_tpu.engine import DeviceAugPipeline
         from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+        if args.color_stu or args.color_tea:
+            warnings.warn(
+                "--device-aug applies ColorJitter in a fixed brightness->"
+                "contrast->saturation order (the host/reference path shuffles "
+                "the order per sample); factor distributions are identical")
+        if args.blur_stu or args.blur_tea:
+            warnings.warn(
+                "--device-aug uses an exact truncated Gaussian for blur "
+                "(PIL approximates it with three box blurs); radius draw "
+                "distribution is identical")
         common = dict(image_size=args.image_size, heatmap_size=args.heatmap_size,
                       sigma=args.sigma)
         aug_src = DeviceAugConfig(resize_scale=tuple(args.resize_scale),
@@ -244,9 +258,9 @@ def main(args: argparse.Namespace):
 
     if args.phase == "test":
         source_val_acc = run_validate(eval_step, state.teacher_params,
-                                      state.teacher_stats, val_source_loader, args)
+                                      state.teacher_stats, val_source_loader, args, mesh=mesh)
         target_val_acc = run_validate(eval_step, state.teacher_params,
-                                      state.teacher_stats, val_target_loader, args,
+                                      state.teacher_stats, val_target_loader, args, mesh=mesh,
                                       visualize=visualize)
         logger.write("Source: {:4.3f} Target: {:4.3f}".format(
             source_val_acc["all"], target_val_acc["all"]))
@@ -292,9 +306,9 @@ def main(args: argparse.Namespace):
         else:
             eval_params, eval_stats = state.teacher_params, state.teacher_stats
         source_val_acc = run_validate(eval_step, eval_params, eval_stats,
-                                      val_source_loader, args)
+                                      val_source_loader, args, mesh=mesh)
         target_val_acc = run_validate(eval_step, eval_params, eval_stats,
-                                      val_target_loader, args,
+                                      val_target_loader, args, mesh=mesh,
                                       visualize=visualize if args.debug else None)
 
         if target_val_acc["all"] > best_acc:

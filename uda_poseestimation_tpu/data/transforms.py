@@ -204,10 +204,13 @@ class ToTensor:
     """PIL -> HWC float32 [0,1] numpy (TPU-native layout; see module doc)."""
 
     def __call__(self, image, **kwargs):
-        arr = np.asarray(image, np.float32)
+        # torchvision ToTensor divides by 255 based on the SOURCE dtype, not
+        # the value range (an almost-black uint8 image must still be scaled)
+        src = np.asarray(image)
+        arr = src.astype(np.float32)
         if arr.ndim == 2:
             arr = arr[:, :, None]
-        if arr.max() > 1.0:
+        if src.dtype == np.uint8:
             arr = arr / 255.0
         return arr, kwargs
 

@@ -354,8 +354,15 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
 
 
 def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
-                 image_size=None, heatmap_size=None):
-    """Evaluation loop returning group PCK (train_human.py:461-500)."""
+                 image_size=None, heatmap_size=None, mesh=None):
+    """Evaluation loop returning group PCK (train_human.py:461-500).
+
+    With ``mesh``, batches are padded to a multiple of the mesh size and
+    sharded over the ('data',) axis, so validation scales with chips like
+    training does (the reference validates through the same DataParallel
+    models). Padding rows carry zero targets/weights: PCK ignores them
+    (GT<=1 rule) and the logged loss is rescaled to the real-row mean.
+    """
     batch_time = AverageMeter("Time", ":6.3f")
     losses = AverageMeter("Loss", ":.2e")
     acc = AverageMeterList(list(range(val_loader.dataset.num_keypoints)), ":3.2f",
@@ -365,6 +372,9 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
     image_size = image_size or args.image_size
     heatmap_size = heatmap_size or args.heatmap_size
     pad_to = getattr(val_loader, "batch_size", None)
+    if mesh is not None and pad_to:
+        n = mesh.size
+        pad_to = ((pad_to + n - 1) // n) * n
     end = time.time()
 
     # one-deep software pipeline: dispatch batch i before reading back batch
@@ -376,6 +386,11 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
         nonlocal end
         (i, n_real, x_np, y, loss, acc_per_kpt, meta) = pending_item
         loss, acc_per_kpt = jax.device_get((loss, acc_per_kpt))
+        # padded rows carry zero weight, so the device loss sums only real
+        # rows but averages over pad_to; rescale so the logged loss matches
+        # the reference's per-real-sample mean on the final partial batch
+        if pad_to and n_real < pad_to:
+            loss = loss * (pad_to / n_real)
         losses.update(float(loss), n_real)
         acc.update(list(np.asarray(acc_per_kpt)), n_real)
         batch_time.update(time.time() - end)
@@ -403,8 +418,11 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
             x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
             label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
             weight = np.concatenate([weight, np.zeros((pad,) + weight.shape[1:], weight.dtype)])
-        y, loss, acc_per_kpt = eval_step(
-            params, stats, jnp.asarray(x), jnp.asarray(label), jnp.asarray(weight))
+        if mesh is not None:
+            x_d, label_d, weight_d = shard_batch([x, label, weight], mesh)
+        else:
+            x_d, label_d, weight_d = jnp.asarray(x), jnp.asarray(label), jnp.asarray(weight)
+        y, loss, acc_per_kpt = eval_step(params, stats, x_d, label_d, weight_d)
         if pending is not None:
             flush(pending)
         pending = (i, n_real, x, y, loss, acc_per_kpt, meta)

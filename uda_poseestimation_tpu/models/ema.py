@@ -6,8 +6,10 @@ NOT averaged (the reference EMA iterates ``.parameters()`` only — the
 teacher's running stats evolve through its own train-mode forwards). The
 init copies student params into the teacher.
 
-lib/models/ema.py (ModelEMA, unused upstream) is also covered: pass
-``include_stats=True`` pytrees to average buffers too.
+lib/models/ema.py (ModelEMA, unused upstream) is also covered: it EMAs the
+``params`` collection and copies every other collection (``batch_stats``)
+verbatim from the incoming student — matching the reference's
+``esd[k].copy_(msd[j])`` buffer handling.
 """
 
 from __future__ import annotations
@@ -44,15 +46,18 @@ class OldWeightEMA:
 
 
 class ModelEMA:
-    """Deepcopy-style EMA including buffers (lib/models/ema.py:6-44, unused
-    upstream): averages params AND batch statistics."""
+    """Deepcopy-style EMA (lib/models/ema.py:6-44, unused upstream): averages
+    parameters; buffers (batch statistics) are copied verbatim from the
+    student, matching the reference's ``esd[k].copy_(msd[j])``."""
 
     def __init__(self, variables, decay: float = 0.9999):
         self.variables = jax.tree_util.tree_map(lambda x: x, variables)
         self.decay = decay
 
     def update(self, variables):
-        self.variables = jax.tree_util.tree_map(
+        new = dict(variables)  # non-param collections: copy from student
+        new["params"] = jax.tree_util.tree_map(
             lambda e, m: self.decay * e + (1.0 - self.decay) * m,
-            self.variables, variables)
+            self.variables["params"], variables["params"])
+        self.variables = new
         return self.variables

@@ -93,10 +93,13 @@ def cons_kl_loss(stu_out, tea_out, valid_mask=None, tea_mask=None):
     stu = jax.nn.log_softmax(stu_out.reshape(b, k, -1), axis=-1)
     tea_log = jax.nn.log_softmax(tea_out.reshape(b, k, -1), axis=-1)
     tea = jnp.exp(tea_log)
-    # reference passes log-probs as KLDivLoss target (loss.py:165-166):
-    # elementwise target * (log(target) - input) with target = exp(log tea)?
-    # torch computes target*(log(target)-input) treating the given target as
-    # probabilities; passing log-probs is the reference's quirk — mirror it.
+    # The reference passes LOG-probs as the KLDivLoss target (loss.py:165-166)
+    # — a bug upstream: torch evaluates target*log(target) via xlogy, which is
+    # NaN for the (always negative) log-prob targets, so the reference's
+    # ConsKLLoss is NaN whenever used (it never is; ConsLoss is the only
+    # consistency criterion the trainers select). DELIBERATE DEVIATION: keep
+    # the same broken log-prob target but guard log(t) for t<=0, yielding the
+    # finite value -t*stu instead of NaN. Structure preserved, poison removed.
     t = tea_log
     log_t = jnp.where(t > 0, jnp.log(jnp.maximum(t, 1e-38)), 0.0)
     loss_map = (t * (log_t - stu)).reshape(b, k, h, w)

@@ -33,6 +33,7 @@ production training speed.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Tuple
 
 import jax
@@ -93,6 +94,46 @@ def _affine_params(rng, cfg: DeviceAugConfig, size: int):
     trans_y = jnp.round(jax.random.uniform(ks[3], minval=-max_dy, maxval=max_dy))
     scale = jax.random.uniform(ks[4], minval=cfg.scale[0], maxval=cfg.scale[1])
     return angle, shear_x, shear_y, trans_x, trans_y, scale
+
+
+def gaussian_blur(img, sigma, max_sigma: float):
+    """Separable Gaussian blur with traced sigma and static support.
+
+    Device twin of the reference's PIL GaussianBlur
+    (lib/transforms/keypoint_detection.py:216-224): PIL's ``radius`` is the
+    Gaussian standard deviation. Support is the static window
+    ceil(3*max_sigma) taps each side (kernel size can't depend on the traced
+    draw); edges are replicated like PIL. sigma -> 0 collapses to the
+    identity (delta kernel). Deviation: PIL approximates the Gaussian with
+    three box blurs; this is the exact truncated Gaussian.
+    """
+    r = max(1, int(math.ceil(3.0 * max_sigma)))
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (xs / jnp.maximum(sigma, 1e-4)) ** 2)
+    w = jnp.where(sigma > 1e-4, w, (xs == 0).astype(jnp.float32))
+    w = w / w.sum()
+    c = img.shape[-1]
+    x = img[None]  # (1, H, W, C)
+    k_row = jnp.tile(w.reshape(-1, 1, 1, 1), (1, 1, 1, c))
+    k_col = jnp.tile(w.reshape(1, -1, 1, 1), (1, 1, 1, c))
+    x = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, k_row, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, k_col, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x[0]
+
+
+def _maybe_blur(rng, img, cfg: DeviceAugConfig):
+    """radius ~ U(0, cfg.blur), applied unconditionally (reference draws on
+    every sample; blur=0 -> static no-op)."""
+    if cfg.blur <= 0:
+        return img
+    sigma = jax.random.uniform(rng, minval=0.0, maxval=cfg.blur)
+    return gaussian_blur(img, sigma, cfg.blur)
 
 
 def _color_jitter(rng, img, color: float):
@@ -156,6 +197,9 @@ def augment_view(rng, image, keypoints, visible, cfg: DeviceAugConfig):
     aug_param = jnp.stack([-angle, -tx, -ty, -shx, -shy, 1.0 / scale])
 
     image = _color_jitter(k_col, image, cfg.color)
+    # blur key derived by fold_in so blur=0 configs keep the exact RNG
+    # streams of the pre-blur implementation
+    image = _maybe_blur(jax.random.fold_in(k_col, 1), image, cfg)
 
     target, weight = generate_target(kp, jnp.asarray(visible).reshape(-1),
                                      (cfg.heatmap_size, cfg.heatmap_size),

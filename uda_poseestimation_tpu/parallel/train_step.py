@@ -83,13 +83,22 @@ class StepConfig:
     recover_min: Tuple[float, float, float] = (-2.1179, -2.0357, -1.8044)
     recover_max: Tuple[float, float, float] = (2.2489, 2.4285, 2.64)
     use_sgd: bool = False
+    # 0.1x learning rate on backbone params — the reference's get_parameters
+    # finetune groups (lib/models/pose_resnet.py:86-91; PoseResNet ctor flag).
+    finetune: bool = False
     # True -> reproduce the reference's 3 chained nearest resamples exactly;
     # False -> single fused resample (faster, smoother; deliberate deviation).
     exact_warp_chain: bool = True
-    # Use the Pallas one-hot MXU gather for the occlusion image warp on TPU
-    # (~1.6x over XLA's gather; hi/lo bf16 split -> ~4e-6 max abs deviation
-    # from the exact gather; see ops/pallas_warp.py and PERF.md).
-    pallas_gather: bool = True
+    # Occlusion image-warp gather implementation (trace-time decision):
+    #   "auto"   -> Pallas one-hot MXU kernel on TPU (~1.6x over XLA's gather;
+    #               hi/lo bf16 split -> ~4e-6 max abs deviation from the exact
+    #               gather; ops/pallas_warp.py, PERF.md), XLA gather elsewhere;
+    #   "pallas" -> force the Pallas kernel (tests set pallas_interpret=True
+    #               to exercise the exact branch on CPU meshes);
+    #   "xla"    -> force the bit-exact XLA gather.
+    gather_impl: str = "auto"
+    # Run the Pallas kernel in interpret mode (CPU-mesh testing only).
+    pallas_interpret: bool = False
 
     @property
     def ratio(self) -> float:
@@ -147,8 +156,22 @@ def _clamp_styled(x, cfg: StepConfig):
     return jnp.maximum(jnp.minimum(x, hi), lo)
 
 
-def _apply_updates(params, direction, lr):
-    return jax.tree_util.tree_map(lambda p, d: p - lr * d, params, direction)
+def _apply_updates(params, direction, lr, lr_scale=None):
+    if lr_scale is None:
+        return jax.tree_util.tree_map(lambda p, d: p - lr * d, params, direction)
+    return jax.tree_util.tree_map(lambda p, d, s: p - (lr * s) * d,
+                                  params, direction, lr_scale)
+
+
+def _finetune_lr_scale(params, cfg: StepConfig):
+    """Per-leaf lr multipliers: 0.1 on the backbone when cfg.finetune (the
+    reference's get_parameters param groups), else None (uniform lr)."""
+    if not cfg.finetune:
+        return None
+    from ..models.pose_resnet import backbone_param_mask
+
+    mask = backbone_param_mask(params)
+    return jax.tree_util.tree_map(lambda m: 0.1 if m else 1.0, mask)
 
 
 def _maybe_stylize(style_model, style_params, content, style, alpha, do_it, cfg):
@@ -219,7 +242,8 @@ def _occlusion_geometry(rng, y_t_tea_recon, cfg: StepConfig):
     return do, left, right, upper, bottom, left_src, upper_src
 
 
-def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepConfig):
+def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu,
+                   cfg: StepConfig, mesh=None):
     """Paste random patches over confident predicted keypoints.
 
     Reference semantics per sample (train_human.py:376-413): with probability
@@ -229,6 +253,10 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
     (box +-occlude_size at image scale), and warp back with a single inverse
     affine. Vectorized: all samples are warped/pasted, the per-sample
     Bernoulli/eligibility mask selects the result.
+
+    ``mesh``: the trace-time device mesh (threaded from make_adapt_step);
+    required for the Pallas gather on multi-device meshes, where pallas_call
+    must run under shard_map (it does not auto-partition under GSPMD).
     """
     s = cfg.image_size
     do, left, right, upper, bottom, left_src, upper_src = _occlusion_geometry(
@@ -272,11 +300,10 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
 
         fx, fy, valid = jax.vmap(indices_one)(cb, c1, c2, c3, left, upper,
                                               left_src, upper_src, right, bottom)
-        # pallas_call does not auto-partition under GSPMD: single chip calls
-        # it directly; multi-chip goes through a shard_map over the batch axis
-        use_pallas = (cfg.pallas_gather and jax.default_backend() == "tpu"
-                      and (jax.device_count() == 1 or mesh is not None))
-        if use_pallas:
+        impl = cfg.gather_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
             from ..ops.pallas_warp import (
                 warp_gather_onehot,
                 warp_gather_onehot_sharded,
@@ -284,10 +311,16 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu, cfg: StepCon
             ix = (fx + half).astype(jnp.int32).reshape(fx.shape[0], -1)
             iy = (fy + half).astype(jnp.int32).reshape(fy.shape[0], -1)
             v_flat = valid.reshape(valid.shape[0], -1)
-            if jax.device_count() > 1 and mesh is not None:
-                occluded = warp_gather_onehot_sharded(imgs, ix, iy, v_flat, mesh)
+            # pallas_call does not auto-partition under GSPMD: single-device
+            # meshes call it directly; multi-device meshes go through a
+            # shard_map over the batch axis.
+            if mesh is not None and mesh.size > 1:
+                occluded = warp_gather_onehot_sharded(
+                    imgs, ix, iy, v_flat, mesh,
+                    interpret=cfg.pallas_interpret)
             else:
-                occluded = warp_gather_onehot(imgs, ix, iy, v_flat)
+                occluded = warp_gather_onehot(imgs, ix, iy, v_flat,
+                                              interpret=cfg.pallas_interpret)
         else:
             occluded = jax.vmap(lambda img, x_, y_, v_: gather_nearest(
                 img, x_, y_, v_, h, w))(imgs, fx, fy, valid)
@@ -326,7 +359,8 @@ def make_pretrain_step(model, cfg: StepConfig, style_model: Optional[StyleNet] =
         (loss, (y_s, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.student_params)
         direction, new_opt = tx.update(grads, state.opt_state, state.student_params)
-        new_params = _apply_updates(state.student_params, direction, lr)
+        new_params = _apply_updates(state.student_params, direction, lr,
+                                    _finetune_lr_scale(state.student_params, cfg))
         _, acc_avg, acc_cnt, _ = keypoint_pck_accuracy(y_s, label_s)
         metrics = {"loss_all": loss, "loss_s": loss, "acc_s": acc_avg,
                    "acc_cnt": acc_cnt}
@@ -425,7 +459,8 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
         y_t_tea_recon = jax.lax.stop_gradient(y_t_tea_recon)
 
         if cfg.occlude_rate > -1:
-            x_t_stu = _occlude_batch(rng, x_t_stu, y_t_tea_recon, aug_stu, cfg)
+            x_t_stu = _occlude_batch(rng, x_t_stu, y_t_tea_recon, aug_stu, cfg,
+                                     mesh=mesh)
 
         # confidence mask: global kth-value over the (B*K) activations
         # (train_human.py:427-430). jnp.sort on the logically-global array
@@ -455,7 +490,8 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
         (loss_all, (y_s, loss_s, loss_c, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.student_params)
         direction, new_opt = tx.update(grads, state.opt_state, state.student_params)
-        new_params = _apply_updates(state.student_params, direction, lr)
+        new_params = _apply_updates(state.student_params, direction, lr,
+                                    _finetune_lr_scale(state.student_params, cfg))
         new_teacher = ema_update(state.teacher_params, new_params, cfg.teacher_alpha)
 
         _, acc_avg, acc_cnt, _ = keypoint_pck_accuracy(y_s, label_s)
