@@ -39,7 +39,9 @@ def main():
     from uda_poseestimation_tpu.parallel import (
         StepConfig, create_state, make_adapt_step, make_mesh, replicate, shard_batch)
 
-    cfg = StepConfig(k=K_VIEWS)
+    # gather_exact=False: models run bf16, so the single-dot occlusion gather
+    # is bit-equivalent (see StepConfig.gather_exact)
+    cfg = StepConfig(k=K_VIEWS, gather_exact=False)
     mesh = make_mesh()
     n_chips = len(mesh.devices.flatten())
     model = pose_resnet101(num_keypoints=NUM_KPTS, dtype=jnp.bfloat16)

@@ -203,6 +203,24 @@ def test_pallas_warp_gather_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_pallas_warp_bf16_gathers_bf16_values():
+    """exact=False must return EXACTLY the bf16-cast source values: the
+    single-dot kernel is bit-equivalent to the exact gather downstream of a
+    bf16 cast (gather(bf16(x)) == bf16(gather(x)))."""
+    from uda_poseestimation_tpu.ops.pallas_warp import warp_gather_onehot
+
+    rng = np.random.RandomState(14)
+    B_, K_, H_, W_ = 4, 3, 16, 16
+    hms = jnp.asarray(rng.randn(B_, K_, H_, W_).astype(np.float32)) * 2.5
+    ix = jnp.asarray(rng.randint(0, W_, (B_, H_ * W_)), jnp.int32)
+    iy = jnp.asarray(rng.randint(0, H_, (B_, H_ * W_)), jnp.int32)
+    valid = jnp.asarray(rng.rand(B_, H_ * W_) > 0.1)
+    got = warp_gather_onehot(hms, ix, iy, valid, interpret=True, exact=False)
+    hms_bf16 = hms.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = warp_gather_onehot(hms_bf16, ix, iy, valid, interpret=True, exact=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_warp_sharded_interpret():
     """shard_map wrapper over the batch axis equals the unsharded kernel."""
     import jax

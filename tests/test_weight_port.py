@@ -45,18 +45,18 @@ class TorchBottleneck(tnn.Module):
         return self.relu(out + identity)
 
 
-class TorchResNet50Headless(tnn.Module):
-    def __init__(self):
+class TorchResNetHeadless(tnn.Module):
+    def __init__(self, blocks=(3, 4, 6, 3)):
         super().__init__()
         self.inplanes = 64
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         self.relu = tnn.ReLU(inplace=True)
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
-        self.layer1 = self._make_layer(64, 3)
-        self.layer2 = self._make_layer(128, 4, stride=2)
-        self.layer3 = self._make_layer(256, 6, stride=2)
-        self.layer4 = self._make_layer(512, 3, stride=2)
+        self.layer1 = self._make_layer(64, blocks[0])
+        self.layer2 = self._make_layer(128, blocks[1], stride=2)
+        self.layer3 = self._make_layer(256, blocks[2], stride=2)
+        self.layer4 = self._make_layer(512, blocks[3], stride=2)
 
     def _make_layer(self, planes, blocks, stride=1):
         downsample = None
@@ -76,9 +76,9 @@ class TorchResNet50Headless(tnn.Module):
 
 
 class TorchPoseResNet(tnn.Module):
-    def __init__(self, num_keypoints):
+    def __init__(self, num_keypoints, blocks=(3, 4, 6, 3)):
         super().__init__()
-        self.backbone = TorchResNet50Headless()
+        self.backbone = TorchResNetHeadless(blocks)
         layers = []
         in_c = 2048
         for _ in range(3):
@@ -127,6 +127,77 @@ def test_pose_resnet_port_matches_torch():
     y = model.apply({"params": variables["params"],
                      "batch_stats": variables["batch_stats"]}, x_jax, train=False)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-4, rtol=1e-3)
+
+
+# --- full reference checkpoint round-trip ------------------------------------
+# The reference writes best_pt/best as
+#   {'student': sd, 'teacher': sd, 'stu_optimizer': ..., 'lr_scheduler': ...,
+#    'epoch': e, 'args': Namespace}  (train_human.py:226-237)
+# with DataParallel 'module.'-prefixed keys. Build exactly that file with
+# torch.save, load it through load_reference_checkpoint, and check the full
+# load -> forward -> PCK path for both pose_resnet50 and pose_resnet101.
+
+@pytest.mark.parametrize("blocks,factory_name", [
+    ((3, 4, 6, 3), "pose_resnet50"),
+    ((3, 4, 23, 3), "pose_resnet101"),
+])
+def test_reference_checkpoint_roundtrip(tmp_path, blocks, factory_name):
+    import argparse
+
+    from tools.port_torch_weights import load_reference_checkpoint
+    from uda_poseestimation_tpu import models as model_zoo
+    from uda_poseestimation_tpu.ops import generate_target_batch
+    from uda_poseestimation_tpu.ops.pck import accuracy
+
+    num_kpts = 5
+    gen = torch.Generator().manual_seed(2)
+    student = TorchPoseResNet(num_kpts, blocks)
+    teacher = TorchPoseResNet(num_kpts, blocks)
+    with torch.no_grad():
+        for m in (student, teacher):
+            for p in m.parameters():
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+            _randomize_bn_stats(m, gen)
+    student.eval()
+    teacher.eval()
+
+    def dp_state_dict(m):  # DataParallel(m).state_dict() key layout
+        return {"module." + k: v for k, v in m.state_dict().items()}
+
+    path = tmp_path / "best_pt.pth"
+    torch.save({
+        "student": dp_state_dict(student),
+        "teacher": dp_state_dict(teacher),
+        "stu_optimizer": {"state": {}, "param_groups": []},
+        "lr_scheduler": {"last_epoch": 3},
+        "epoch": 3,
+        "args": argparse.Namespace(arch=factory_name, image_size=64),
+    }, str(path))
+
+    ckpt = load_reference_checkpoint(str(path))
+    assert ckpt["epoch"] == 3
+    assert ckpt["args"]["arch"] == factory_name
+
+    model = getattr(model_zoo, factory_name)(num_keypoints=num_kpts)
+    x = torch.randn(2, 3, 64, 64, generator=gen)
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+
+    rng = np.random.RandomState(0)
+    kp = rng.uniform(8, 56, size=(2, num_kpts, 2)).astype(np.float32)
+    target, _ = generate_target_batch(kp, np.ones((2, num_kpts), np.float32),
+                                      (16, 16), 2.0, (64, 64))
+    target = np.asarray(target)
+
+    for role, torch_model in (("student", student), ("teacher", teacher)):
+        with torch.no_grad():
+            y_ref = torch_model(x).numpy()
+        y = np.asarray(model.apply(
+            {"params": ckpt[role]["params"],
+             "batch_stats": ckpt[role]["batch_stats"]}, x_jax, train=False))
+        np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
+        _, avg_ref, _, _ = accuracy(y_ref, target)
+        _, avg, _, _ = accuracy(y, target)
+        assert avg == pytest.approx(avg_ref)
 
 
 # --- VGG encoder / decoder oracle -------------------------------------------

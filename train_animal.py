@@ -77,8 +77,20 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
             T.ToTensor(),
         ])
 
-    train_source_dataset = datasets.__dict__[args.source](is_train=True, **vars(args))
-    train_source_loader = DataLoader(train_source_dataset, batch_size=args.batch_size,
+    # --device-aug: the synthetic source pipeline also moves on device (the
+    # dataset returns raw decoded frames; imgaug/flip/crop/targets run inside
+    # the fused step). Datasets without raw_mode support ignore the kwarg.
+    train_source_dataset = datasets.__dict__[args.source](
+        is_train=True, raw_mode=args.device_aug, **vars(args))
+    source_on_device = args.device_aug and getattr(train_source_dataset,
+                                                   "raw_mode", False)
+    train_source_for_loader = train_source_dataset
+    if source_on_device and args.decode_cache > 0:
+        # raw-mode items are decode-only (deterministic) -> memoizable
+        from uda_poseestimation_tpu.data.loader import CachedDataset
+        train_source_for_loader = CachedDataset(
+            train_source_dataset, max_bytes=args.decode_cache * 1e9)
+    train_source_loader = DataLoader(train_source_for_loader, batch_size=args.batch_size,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     val_source_dataset = datasets.__dict__[args.source](is_train=False, **vars(args))
     val_source_loader = DataLoader(val_source_dataset, batch_size=args.test_batch,
@@ -115,7 +127,10 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                      occlude_rate=args.occlude_rate, occlude_thresh=args.occlude_thresh,
                      occlude_size=args.occlude_size,
                      recover_min=RECOVER_MIN, recover_max=RECOVER_MAX,
-                     use_sgd=args.SGD)
+                     use_sgd=args.SGD,
+                     # bf16 models: single-dot Pallas occlusion gather is
+                     # bit-equivalent (see StepConfig.gather_exact)
+                     gather_exact=False)
     model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
                                        dtype=jnp.bfloat16)
     if getattr(model, "finetune", False):
@@ -150,10 +165,26 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                                   shear=tuple(args.shear_tea),
                                   translate=tuple(args.translate_tea),
                                   scale=tuple(args.scale_tea), **common)
+        if source_on_device:
+            from uda_poseestimation_tpu.data.util import FLIP_PAIRS
+            from uda_poseestimation_tpu.ops.device_aug import (
+                AnimalSourceAugConfig,
+                flip_perm_from_pairs,
+            )
+            src_cfg = AnimalSourceAugConfig(
+                inp_res=args.inp_res, out_res=args.out_res, sigma=args.sigma,
+                label_type=args.label_type)
+            flip_perm = flip_perm_from_pairs(
+                FLIP_PAIRS[train_source_dataset.FLIP_DATASET],
+                train_source_dataset.num_keypoints)
+            src_kwargs = dict(src_cfg=src_cfg, flip_perm=flip_perm,
+                              src_mean=train_source_dataset.mean)
+        else:
+            src_kwargs = {}
         device_aug = AnimalDeviceAugPipeline(
             aug_stu, aug_tea, k=args.k, mean=ANIMAL_MEAN,
             label_type=args.label_type, mesh=mesh,
-            seed=args.seed if args.seed is not None else 0)
+            seed=args.seed if args.seed is not None else 0, **src_kwargs)
         adapt_step = make_adapt_step(model, cfg, style_model=style_model,
                                      view_builder=device_aug.view_builder,
                                      mesh=mesh)
@@ -227,7 +258,8 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                 state, style_params, pretrain_step, mesh, train_source_iter,
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
-                style_enabled=style_model is not None)
+                style_enabled=style_model is not None,
+                device_aug=device_aug if source_on_device else None)
         else:
             if epoch == args.pretrain_epoch:
                 checkpoint = load_checkpoint(logger.get_checkpoint_path("best_pt"))
@@ -406,8 +438,14 @@ def build_parser():
     parser.add_argument("--occlude-thresh", type=float, default=0.9, help="")
     parser.add_argument("--occlude-size", type=int, default=10, help="")
     parser.add_argument("--device-aug", action="store_true",
-                        help="generate target mt views on device (TPU fast "
-                             "path; see ops/device_aug.py deviation note)")
+                        help="generate ALL random views on device — target mt "
+                             "student/teacher views and (for raw_mode-capable "
+                             "sources) the imgaug/flip/crop source pipeline "
+                             "(TPU fast path; ops/device_aug.py deviation note)")
+    parser.add_argument("--decode-cache", type=float, default=0.0,
+                        help="GB of decoded-frame cache for the raw-mode "
+                             "source dataset (only with --device-aug); 0 "
+                             "disables")
     return parser
 
 

@@ -108,10 +108,19 @@ def main(args: argparse.Namespace):
     image_size = (args.image_size, args.image_size)
     heatmap_size = (args.heatmap_size, args.heatmap_size)
 
+    def maybe_cache(ds):
+        # decoded-canvas cache: valid only under --device-aug, whose host
+        # transforms are deterministic (Resize/IdentityAffine/ToTensor) —
+        # all randomness moves on device, so items are safe to memoize
+        if args.device_aug and args.decode_cache > 0:
+            from uda_poseestimation_tpu.data.loader import CachedDataset
+            return CachedDataset(ds, max_bytes=args.decode_cache * 1e9)
+        return ds
+
     source_dataset = datasets.__dict__[args.source]
-    train_source_dataset = source_dataset(root=args.source_root,
-                                          transforms=src_train_transform,
-                                          image_size=image_size, heatmap_size=heatmap_size)
+    train_source_dataset = maybe_cache(
+        source_dataset(root=args.source_root, transforms=src_train_transform,
+                       image_size=image_size, heatmap_size=heatmap_size))
     train_source_loader = DataLoader(train_source_dataset, batch_size=args.batch_size,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     val_source_dataset = source_dataset(root=args.source_root, split="test",
@@ -121,10 +130,10 @@ def main(args: argparse.Namespace):
                                    shuffle=False)
 
     target_dataset = datasets.__dict__[args.target_train]
-    train_target_dataset = target_dataset(
+    train_target_dataset = maybe_cache(target_dataset(
         root=args.target_root, transforms_base=base_transform,
         transforms_stu=tgt_train_transform_stu, transforms_tea=tgt_train_transform_tea,
-        k=args.k, image_size=image_size, heatmap_size=heatmap_size)
+        k=args.k, image_size=image_size, heatmap_size=heatmap_size))
     train_target_loader = DataLoader(train_target_dataset, batch_size=args.batch_size,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     target_dataset = datasets.__dict__[args.target]
@@ -149,7 +158,10 @@ def main(args: argparse.Namespace):
                      occlude_rate=args.occlude_rate, occlude_thresh=args.occlude_thresh,
                      occlude_size=args.occlude_size,
                      recover_min=RECOVER_MIN, recover_max=RECOVER_MAX,
-                     use_sgd=args.SGD)
+                     use_sgd=args.SGD,
+                     # bf16 models: single-dot Pallas occlusion gather is
+                     # bit-equivalent (see StepConfig.gather_exact)
+                     gather_exact=False)
     model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
                                        dtype=jnp.bfloat16)
     if getattr(model, "finetune", False):
@@ -437,6 +449,10 @@ def build_parser():
     parser.add_argument("--device-aug", action="store_true",
                         help="generate augmented views on device (TPU fast "
                              "path; see ops/device_aug.py deviation note)")
+    parser.add_argument("--decode-cache", type=float, default=0.0,
+                        help="GB of decoded-canvas cache for the train "
+                             "datasets (only with --device-aug, whose host "
+                             "transforms are deterministic); 0 disables")
     return parser
 
 

@@ -28,6 +28,28 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
+def affine_matrix_from_params(w, h, sx, sy, tx, ty, rot, shear):
+    """skimage-style affine about the image center + pixel translation.
+
+    Single source of truth for the imgaug Affine matrix; the device twin
+    (ops.device_aug.imgaug_affine_matrix) is parity-tested against this.
+    x' = sx*cos(rot)*x - sy*sin(rot+shear)*y + tx (about center), etc.
+    """
+    a = np.array([
+        [sx * np.cos(rot), -sy * np.sin(rot + shear), 0.0],
+        [sx * np.sin(rot), sy * np.cos(rot + shear), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    # imgaug centers the transform on the image: shift to center first
+    cx, cy = w / 2.0 - 0.5, h / 2.0 - 0.5
+    to_c = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], float)
+    from_c = np.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], float)
+    m = from_c @ a @ to_c
+    m[0, 2] += tx
+    m[1, 2] += ty
+    return m
+
+
 class AnimalAugmentation:
     """Callable (image uint8 HWC, keypoints (K, 2)) -> augmented pair."""
 
@@ -45,21 +67,7 @@ class AnimalAugmentation:
         shear = np.deg2rad(r.uniform(-20, 20))
         order = int(r.random_sample() < 0.5)
         cval = r.uniform(0, 255)
-        # skimage AffineTransform: x' = sx*cos(rot)*x - sy*sin(rot+shear)*y + tx
-        #                          y' = sx*sin(rot)*x + sy*cos(rot+shear)*y + ty
-        a = np.array([
-            [sx * np.cos(rot), -sy * np.sin(rot + shear), 0.0],
-            [sx * np.sin(rot), sy * np.cos(rot + shear), 0.0],
-            [0.0, 0.0, 1.0],
-        ])
-        # imgaug centers the transform on the image: shift to center first
-        cx, cy = w / 2.0 - 0.5, h / 2.0 - 0.5
-        to_c = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], float)
-        from_c = np.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], float)
-        m = from_c @ a @ to_c
-        m[0, 2] += tx
-        m[1, 2] += ty
-        return m, order, cval
+        return affine_matrix_from_params(w, h, sx, sy, tx, ty, rot, shear), order, cval
 
     def _apply_affine(self, img, kps, m, order, cval):
         h, w = img.shape[:2]

@@ -94,6 +94,85 @@ class DataLoader:
             yield item
 
 
+def _compress(obj):
+    """float32 image-sized arrays -> float16 for cache storage (canvases are
+    normalized images; fp16's 2^-11 rounding is far below augmentation
+    noise); small arrays (keypoints, weights) stay exact."""
+    if isinstance(obj, np.ndarray):
+        if obj.dtype == np.float32 and obj.ndim >= 3:
+            return obj.astype(np.float16)
+        return obj
+    if isinstance(obj, dict):
+        return {k: _compress(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_compress(v) for v in obj)
+    return obj
+
+
+def _restore(obj):
+    if isinstance(obj, np.ndarray):
+        return obj.astype(np.float32) if obj.dtype == np.float16 else obj
+    if isinstance(obj, dict):
+        return {k: _restore(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_restore(v) for v in obj)
+    return obj
+
+
+def _nbytes(obj):
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes
+    if isinstance(obj, dict):
+        return sum(_nbytes(v) for v in obj.values())
+    if isinstance(obj, (list, tuple)):
+        return sum(_nbytes(v) for v in obj)
+    return 64
+
+
+class CachedDataset:
+    """Memoize a dataset's __getitem__ — the decoded-canvas cache.
+
+    Training revisits the same images every epoch (e.g. canonical human runs:
+    500 iters x b=32 over ~8k-40k images); on a single-core host the ~30 ms
+    PIL decode+resize per sample dominates end-to-end throughput (PERF.md).
+    The reference leans on DataLoader worker parallelism + the OS page cache
+    instead (train_human.py:90-105).
+
+    ONLY wrap datasets whose transform pipeline is deterministic (the
+    --device-aug canonical-canvas path): caching would freeze host-side
+    random augmentations. The trainers enforce this. Storage is bounded by
+    ``max_bytes``; once full, further items pass through uncached. Float
+    canvases are stored fp16 and restored to f32.
+    """
+
+    def __init__(self, dataset, max_bytes: float = 2e9):
+        self.dataset = dataset
+        self.max_bytes = max_bytes
+        self._cache = {}
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getattr__(self, name):  # num_keypoints, visualize, group_accuracy...
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, idx):
+        with self._lock:
+            hit = self._cache.get(idx)
+        if hit is not None:
+            return _restore(hit)
+        item = self.dataset[idx]
+        if self._bytes < self.max_bytes:
+            packed = _compress(item)
+            with self._lock:
+                if self._bytes < self.max_bytes and idx not in self._cache:
+                    self._cache[idx] = packed
+                    self._bytes += _nbytes(packed)
+        return item
+
+
 class ForeverDataIterator:
     """Infinite iterator over a loader (lib/data.py:40-61)."""
 

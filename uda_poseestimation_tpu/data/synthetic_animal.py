@@ -106,6 +106,11 @@ class _SyntheticAnimalBase:
         self.rot_factor = kwargs["rot_factor"]
         self.label_type = kwargs["label_type"]
         self.train_with_occlusion = True
+        # raw mode (--device-aug source path): __getitem__ returns only the
+        # decoded frame + annotations; imgaug/flip/crop/targets run on device
+        # (ops.device_aug.animal_source_batch). Decode-only items are
+        # deterministic, so they compose with data.loader.CachedDataset.
+        self.raw_mode = bool(kwargs.get("raw_mode", False)) and is_train
 
         self.data_dict = {}
         self.train_set = []
@@ -186,6 +191,14 @@ class _SyntheticAnimalBase:
 
         with Image.open(img_path) as im:
             img = np.asarray(im)[:, :, :3]  # drop alpha like the reference
+
+        if self.raw_mode:
+            meta = {"index": index, "canvas": np.ascontiguousarray(img),
+                    "pts": pts.astype(np.float32),
+                    "center": c, "scale": np.float32(s)}
+            dummy = np.zeros((1, 1, 3), np.float32)
+            return dummy, dummy, pts[:, 2:3].astype(np.float32), meta
+
         pts_aug = pts[:, :2].copy()
         r = 0
         if self.is_train and self.is_aug:

@@ -65,6 +65,8 @@ class DeviceAugPipeline:
     DEVIATION NOTE in ops/device_aug.py.
     """
 
+    host_visualizable = True  # raw source canvases are host arrays
+
     def __init__(self, cfg_src, cfg_stu, cfg_tea, k: int, mean, std,
                  mesh=None, seed: int = 0):
         from .ops.device_aug import augment_batch
@@ -139,27 +141,56 @@ class DeviceAugPipeline:
                           np.asarray(meta["keypoint2d_ori"], np.float32),
                           np.asarray(meta["target_weight_ori"], np.float32)[..., 0]))
 
+    def style_image(self, tgt_tuple):
+        """Normalized style image for the pretrain s2t draw (the teacher view
+        the reference feeds, train_human.py:270-276)."""
+        c_t, kp_t, vis_t = self.raw_target(tgt_tuple)
+        _, _, teas, _ = self.prep_target(self.next_rng(), c_t, kp_t, vis_t)
+        return teas[0]
+
 
 class AnimalDeviceAugPipeline:
-    """--device-aug for the animal trainers: target mt views on device.
+    """--device-aug for the animal trainers: ALL random views on device.
 
-    The animal source pipeline (imgaug + flip + legacy crop_ori) stays on the
-    host; the target mt student/teacher views — affine warp + original-frame
-    keypoint math + MPII-transform window-rule labelmaps — are generated
-    inside the fused step (device twins parity-tested against the host
-    implementations in tests/test_device_aug.py).
+    Target mt student/teacher views — affine warp + original-frame keypoint
+    math + MPII-transform window-rule labelmaps — and (with ``src_cfg``) the
+    SOURCE pipeline — imgaug Affine/Noise/Blur/Contrast + hflip + crop_ori
+    composed into one warp + targets (ops.device_aug.animal_source_*) — are
+    generated inside the fused step. The host only decodes frames. Device
+    twins are parity-tested in tests/test_device_aug.py and
+    tests/test_animal_source_device.py.
     """
 
+    host_visualizable = False  # source views exist only on device
+
     def __init__(self, cfg_stu, cfg_tea, k: int, mean, label_type: str = "Gaussian",
-                 mesh=None, seed: int = 0):
-        from .ops.device_aug import animal_augment_batch
+                 mesh=None, seed: int = 0, src_cfg=None, flip_perm=None,
+                 src_mean=None, src_is_aug: bool = True):
+        from .ops.device_aug import animal_augment_batch, animal_source_batch
 
         self.k = k
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
+        self._n = 0
+        self.src_cfg = src_cfg
+        self._flip_perm = (np.asarray(flip_perm, np.int32)
+                           if flip_perm is not None else None)
+        self._src_mean = src_mean
+        self._mean = mean
+
+        def source_views(rng, canvas, pts, c, s):
+            # canvases cross the host->device link as uint8 (4x smaller)
+            out = animal_source_batch(rng, canvas.astype(jnp.float32), pts, c, s,
+                                      jnp.asarray(self._flip_perm), src_cfg,
+                                      mean=src_mean, is_aug=src_is_aug)
+            return (out["image"], out["target"], out["target_weight"],
+                    out["keypoint2d"])
+
+        self._source_views = source_views
+        self.prep_source = jax.jit(source_views) if src_cfg is not None else None
 
         def builder(raw_batch, rng):
-            r_stu, r_tea = jax.random.split(rng)
+            r_stu, r_tea, r_src = jax.random.split(rng, 3)
             canvas = raw_batch["canvas_t"]
             kp = raw_batch["kp_t"]
             vis = raw_batch["vis_t"]
@@ -169,9 +200,17 @@ class AnimalDeviceAugPipeline:
                                        n_views=1, mean=mean, label_type=label_type)
             tea = animal_augment_batch(r_tea, canvas, kp, vis, c, s, cfg_tea,
                                        n_views=k, mean=mean, label_type=label_type)
-            return {"image_s": raw_batch["image_s"],
-                    "target_s": raw_batch["target_s"],
-                    "weight_s": raw_batch["weight_s"],
+            if src_cfg is not None:
+                img_s, target_s, weight_s, _ = source_views(
+                    r_src, raw_batch["canvas_s"], raw_batch["pts_s"],
+                    raw_batch["center_s"], raw_batch["scale_s"])
+            else:
+                img_s = raw_batch["image_s"]
+                target_s = raw_batch["target_s"]
+                weight_s = raw_batch["weight_s"]
+            return {"image_s": img_s,
+                    "target_s": target_s,
+                    "weight_s": weight_s,
                     "image_t_stu": stu["image"][0],
                     "aug_param_stu": stu["aug_param"][0],
                     "images_t_tea": tea["image"],
@@ -179,19 +218,54 @@ class AnimalDeviceAugPipeline:
 
         self.view_builder = builder
 
+    def next_rng(self):
+        self._n += 1
+        return jax.random.fold_in(self.rng, self._n)
+
+    def raw_source(self, src_tuple):
+        """Raw-mode source tuple -> device arrays for prep_source."""
+        meta = src_tuple[3]
+        batch = (np.asarray(meta["canvas"], np.uint8),
+                 np.asarray(meta["pts"], np.float32),
+                 np.asarray(meta["center"], np.float32),
+                 np.asarray(meta["scale"], np.float32))
+        if self.mesh is None:
+            return tuple(jnp.asarray(v) for v in batch)
+        return tuple(shard_batch(list(batch), self.mesh))
+
+    def style_image(self, tgt_tuple):
+        """Pretrain s2t style image: the identity teacher view, normalized
+        (the mt datasets under --device-aug skip host normalization)."""
+        img = np.asarray(tgt_tuple[4][0], np.float32)
+        img = jnp.asarray(img) - jnp.asarray(self._mean, jnp.float32)
+        if self.mesh is not None:
+            img = shard_batch([img], self.mesh)[0]
+        return img
+
     def raw_adapt_batch(self, src_tuple, tgt_tuple):
-        x_s, label_s, weight_s, _meta = src_tuple
         meta = tgt_tuple[3]
         batch = {
-            "image_s": np.asarray(x_s, np.float32),
-            "target_s": np.asarray(label_s, np.float32),
-            "weight_s": np.asarray(weight_s, np.float32),
             "canvas_t": np.asarray(meta["canvas"], np.float32) / 255.0,
             "kp_t": np.asarray(meta["kp_orig"], np.float32),
             "vis_t": np.asarray(meta["vis"], np.float32),
             "center_t": np.asarray(meta["center"], np.float32),
             "scale_t": np.asarray(meta["scale"], np.float32),
         }
+        if self.src_cfg is not None:
+            meta_s = src_tuple[3]
+            batch.update({
+                "canvas_s": np.asarray(meta_s["canvas"], np.uint8),
+                "pts_s": np.asarray(meta_s["pts"], np.float32),
+                "center_s": np.asarray(meta_s["center"], np.float32),
+                "scale_s": np.asarray(meta_s["scale"], np.float32),
+            })
+        else:
+            x_s, label_s, weight_s, _meta = src_tuple
+            batch.update({
+                "image_s": np.asarray(x_s, np.float32),
+                "target_s": np.asarray(label_s, np.float32),
+                "weight_s": np.asarray(weight_s, np.float32),
+            })
         if self.mesh is None:
             return {k_: jnp.asarray(v) for k_, v in batch.items()}
         return shard_batch(batch, self.mesh)
@@ -231,21 +305,50 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
                      getattr(args, "s2t_alpha", (0.0, 1.0)))
     dummy_style = None
     end = time.time()
+
+    # one-deep software pipeline (like run_validate): step i is dispatched
+    # BEFORE step i-1's metrics are read back, so host batch building (PIL
+    # decode, augmentation, H2D) overlaps the device step
+    pending = None
+
+    def flush(item):
+        nonlocal end
+        i, n, metrics, y_s, x_s_np, meta_s = item
+        # metrics (incl. PCK) are computed on device; one small D2H fetch.
+        # (reading back the full y_s heatmaps every iteration costs more than
+        # the step itself on tunneled TPUs)
+        m = jax.device_get(metrics)
+        acc_s.update(float(m["acc_s"]), int(m["acc_cnt"]))
+        losses_all.update(float(m["loss_all"]), n)
+        losses_s.update(float(m["loss_s"]), n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % args.print_freq == 0:
+            progress.display(i)
+            if visualize is not None and meta_s.get("keypoint2d") is not None:
+                from .ops.pck import get_max_preds_np
+                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
+                ratio = args.image_size / args.heatmap_size
+                visualize(x_s_np[0], pred_s[0] * ratio,
+                          "source_{}_pred.jpg".format(i))
+                visualize(x_s_np[0], np.asarray(meta_s["keypoint2d"])[0],
+                          "source_{}_label.jpg".format(i))
+
     for i in range(args.iters_per_epoch):
         x_s, label_s, weight_s, meta_s = next(source_iter)
         do_s2t, alpha = gate.draw()
         if device_aug is not None:
-            canvas, kp, vis = device_aug.raw_source((x_s, label_s, weight_s, meta_s))
+            # raw/prep contract is pipeline-specific (human: canvas/kp/vis;
+            # animal: canvas/pts/center/scale) — pass the tuple through
+            raw = device_aug.raw_source((x_s, label_s, weight_s, meta_s))
             img_s, tgt_s, w_s, kp_aug = device_aug.prep_source(
-                device_aug.next_rng(), canvas, kp, vis)
+                device_aug.next_rng(), *raw)
             batch = {"image_s": img_s, "target_s": tgt_s, "weight_s": w_s}
-            meta_s = {"keypoint2d": kp_aug}
+            meta_s = {"keypoint2d": kp_aug if device_aug.host_visualizable
+                      else None}
             if style_enabled:
                 if do_s2t:
-                    c_t, kp_t, vis_t = device_aug.raw_target(next(target_iter))
-                    _, _, teas, _ = device_aug.prep_target(
-                        device_aug.next_rng(), c_t, kp_t, vis_t)
-                    batch["image_t_style"] = teas[0]
+                    batch["image_t_style"] = device_aug.style_image(next(target_iter))
                 else:
                     batch["image_t_style"] = jnp.zeros_like(img_s)
         else:
@@ -264,26 +367,11 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
         state, metrics, y_s = pretrain_step(state, style_params, batch,
                                             jnp.float32(lr), jnp.bool_(do_s2t),
                                             jnp.float32(alpha))
-        # metrics (incl. PCK) are computed on device; one small D2H fetch.
-        # (reading back the full y_s heatmaps every iteration costs more than
-        # the step itself on tunneled TPUs)
-        m = jax.device_get(metrics)
-        acc_s.update(float(m["acc_s"]), int(m["acc_cnt"]))
-        losses_all.update(float(m["loss_all"]), len(x_s))
-        losses_s.update(float(m["loss_s"]), len(x_s))
-        batch_time.update(time.time() - end)
-        end = time.time()
-
-        if i % args.print_freq == 0:
-            progress.display(i)
-            if visualize is not None:
-                from .ops.pck import get_max_preds_np
-                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
-                ratio = args.image_size / args.heatmap_size
-                visualize(np.asarray(x_s)[0], pred_s[0] * ratio,
-                          "source_{}_pred.jpg".format(i))
-                visualize(np.asarray(x_s)[0], np.asarray(meta_s["keypoint2d"])[0],
-                          "source_{}_label.jpg".format(i))
+        if pending is not None:
+            flush(pending)
+        pending = (i, len(x_s), metrics, y_s, np.asarray(x_s), meta_s)
+    if pending is not None:
+        flush(pending)
     return state
 
 
@@ -310,6 +398,34 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
         base_rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
     end = time.time()
+
+    # one-deep software pipeline: host decode/augment of batch i+1 overlaps
+    # the device step for batch i (see run_pretrain_epoch)
+    pending = None
+
+    def flush(item):
+        nonlocal end
+        i, n, metrics, y_s, src = item
+        m = jax.device_get(metrics)
+        acc_s.update(float(m["acc_s"]), int(m["acc_cnt"]))
+        losses_all.update(float(m["loss_all"]), n)
+        losses_s.update(float(m["loss_s"]), n)
+        losses_c.update(float(m["loss_c"]), n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % args.print_freq == 0:
+            progress.display(i)
+            if visualize is not None:
+                from .ops.pck import get_max_preds_np
+                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
+                ratio = args.image_size / args.heatmap_size
+                visualize(np.asarray(src[0])[0], pred_s[0] * ratio,
+                          "source_{}_pred.jpg".format(i))
+                if src[3].get("keypoint2d") is not None:
+                    visualize(np.asarray(src[0])[0],
+                              np.asarray(src[3]["keypoint2d"])[0],
+                              "source_{}_label.jpg".format(i))
+
     for i in range(args.iters_per_epoch):
         src = next(source_iter)
         tgt = next(target_iter)
@@ -329,27 +445,11 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
                                          jnp.float32(lr), rng,
                                          jnp.bool_(do_s2t), jnp.float32(alpha_s2t),
                                          jnp.bool_(do_t2s), jnp.float32(alpha_t2s))
-        m = jax.device_get(metrics)
-        n = len(src[0])
-        acc_s.update(float(m["acc_s"]), int(m["acc_cnt"]))
-        losses_all.update(float(m["loss_all"]), n)
-        losses_s.update(float(m["loss_s"]), n)
-        losses_c.update(float(m["loss_c"]), n)
-        batch_time.update(time.time() - end)
-        end = time.time()
-
-        if i % args.print_freq == 0:
-            progress.display(i)
-            if visualize is not None:
-                from .ops.pck import get_max_preds_np
-                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
-                ratio = args.image_size / args.heatmap_size
-                visualize(np.asarray(src[0])[0], pred_s[0] * ratio,
-                          "source_{}_pred.jpg".format(i))
-                if src[3].get("keypoint2d") is not None:
-                    visualize(np.asarray(src[0])[0],
-                              np.asarray(src[3]["keypoint2d"])[0],
-                              "source_{}_label.jpg".format(i))
+        if pending is not None:
+            flush(pending)
+        pending = (i, len(src[0]), metrics, y_s, src)
+    if pending is not None:
+        flush(pending)
     return state
 
 

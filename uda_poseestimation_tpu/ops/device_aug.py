@@ -301,6 +301,247 @@ def animal_augment_batch(rng, images, kp_orig, vis, centers, scales,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Synthetic-animal SOURCE device twin (imgaug seq + flip + crop_ori + targets)
+# ---------------------------------------------------------------------------
+#
+# The reference source pipeline (synthetic_animal_sp_all.py:134-153 imgaug
+# Sequential + :256-310 flip/crop/targets; our host twin: data/animal_aug.py
+# + data/synthetic_animal.py:169-228) runs per sample on the host:
+# imgaug [Affine, Noise, Blur, Contrast] each p=0.5 in random order on the
+# 640x480 frame, p=0.5 hflip + shufflelr, MPII crop_ori to inp_res, mean
+# normalize, per-keypoint transform + window-rule labelmaps.
+#
+# Device design: the three geometric stages (imgaug Affine -> hflip ->
+# crop_ori) compose into ONE affine map, so the image is produced by a single
+# nearest gather from the original frame straight to the inp_res crop — the
+# gather cost scales with the OUTPUT size (256^2), not the 640x480 source.
+# Keypoint/center math uses the host's exact formulas (skimage-style matrix,
+# width-x flip, MPII transform trunc quirks). The elementwise ops
+# (noise/blur/contrast) apply on the crop in their drawn order.
+#
+# DEVIATIONS (documented; geometry and targets stay exact): nearest
+# resampling in one pass instead of imgaug-bilinear + scipy-imresize
+# (bytescale quirk) chains; noise/blur/contrast act on the crop (blur sigma
+# rescaled by the crop zoom, iid noise at crop rather than frame resolution,
+# no uint8 re-quantization between ops); the affine always precedes the
+# elementwise ops (their relative order among themselves keeps the drawn
+# order).
+
+def imgaug_affine_matrix(w, h, sx, sy, tx, ty, rot_rad, shear_rad):
+    """jnp twin of data.animal_aug.AnimalAugmentation._affine_matrix for
+    given draws: skimage-style scale/rotate/shear about the image center,
+    plus the pixel translation. Returns (3, 3) float32."""
+    cx, cy = w / 2.0 - 0.5, h / 2.0 - 0.5
+    cos_r, sin_r = jnp.cos(rot_rad), jnp.sin(rot_rad)
+    a00 = sx * cos_r
+    a01 = -sy * jnp.sin(rot_rad + shear_rad)
+    a10 = sx * sin_r
+    a11 = sy * jnp.cos(rot_rad + shear_rad)
+    # from_c @ A @ to_c, then += (tx, ty)
+    m02 = -cx * a00 - cy * a01 + cx + tx
+    m12 = -cx * a10 - cy * a11 + cy + ty
+    return jnp.array([[a00, a01, m02], [a10, a11, m12], [0.0, 0.0, 1.0]],
+                     jnp.float32)
+
+
+def draw_animal_source_params(rng, cfg: "AnimalSourceAugConfig"):
+    """Per-sample draws mirroring the host pipeline's parameter
+    distributions (data/animal_aug.py; RNG stream differs by design)."""
+    ks = jax.random.split(rng, 12)
+    gates = jax.random.uniform(ks[0], (4,)) < cfg.p  # affine/noise/blur/contrast
+    perm = jax.random.permutation(ks[1], 4)
+    sx = jax.random.uniform(ks[2], minval=0.5, maxval=1.5)
+    sy = jax.random.uniform(ks[3], minval=0.5, maxval=1.5)
+    tx = jax.random.uniform(ks[4], minval=-0.05, maxval=0.05) * cfg.frame_w
+    ty = jax.random.uniform(ks[5], minval=-0.05, maxval=0.05) * cfg.frame_h
+    rot = jnp.deg2rad(jax.random.uniform(ks[6], minval=-30.0, maxval=30.0))
+    shear = jnp.deg2rad(jax.random.uniform(ks[7], minval=-20.0, maxval=20.0))
+    cval = jax.random.uniform(ks[8], minval=0.0, maxval=255.0)
+    noise_pc = jax.random.uniform(ks[9]) < 0.5
+    blur_sigma = jax.random.uniform(ks[10], minval=1.0, maxval=5.0)
+    k_c1, k_c2, k_noise = jax.random.split(ks[11], 3)
+    contrast_pc = jax.random.uniform(k_c1) < 0.5
+    alphas = jax.random.uniform(k_c2, (3,), minval=0.5, maxval=2.0)
+    alpha_shared = alphas[0]
+    flip = jax.random.uniform(jax.random.fold_in(rng, 99)) < 0.5
+    return {
+        "gates": gates, "perm": perm,
+        "sx": sx, "sy": sy, "tx": tx, "ty": ty, "rot": rot, "shear": shear,
+        "cval": cval, "noise_pc": noise_pc, "noise_key": k_noise,
+        "blur_sigma": blur_sigma, "contrast_pc": contrast_pc,
+        "alphas": alphas, "alpha_shared": alpha_shared, "flip": flip,
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class AnimalSourceAugConfig:
+    inp_res: int = 256
+    out_res: int = 64
+    sigma: float = 1.0
+    p: float = 0.5          # imgaug per-op probability
+    frame_w: int = 640      # original frame (the reference hardcodes 640/480)
+    frame_h: int = 480
+    label_type: str = "Gaussian"
+    max_blur_sigma: float = 5.0
+
+
+def animal_source_apply(params, canvas, pts, center, scale, flip_perm,
+                        cfg: AnimalSourceAugConfig, mean=None, std=None):
+    """Apply one drawn source augmentation (params from
+    draw_animal_source_params) to one sample.
+
+    Args:
+        canvas: (frame_h, frame_w, 3) float32 in [0, 255] (decoded frame).
+        pts: (K, 3) original-frame keypoints+vis (vis forced 1 upstream).
+        center, scale: MPII crop params from the bbox.
+        flip_perm: (K,) int32 left/right swap table (FLIP_PAIRS as a
+            permutation vector).
+
+    Returns dict(image (inp,inp,3) normalized, target (K,out,out),
+    target_weight (K,1), keypoint2d (K,2) crop-frame ints).
+    """
+    w, h = cfg.frame_w, cfg.frame_h
+    inp = cfg.inp_res
+
+    m = imgaug_affine_matrix(w, h, params["sx"], params["sy"], params["tx"],
+                             params["ty"], params["rot"], params["shear"])
+    affine_on = params["gates"][0]
+    m = jnp.where(affine_on, m, jnp.eye(3, dtype=jnp.float32))
+
+    # keypoints: affine (host formula), then zero out-of-frame rows
+    # (synthetic_animal.py:198-199, hardcoded 640/480 bounds)
+    pts = jnp.asarray(pts, jnp.float32)
+    kp_h = jnp.concatenate([pts[:, :2], jnp.ones((pts.shape[0], 1))], axis=1)
+    kp_aug = (m @ kp_h.T).T[:, :2]
+    pts = pts.at[:, :2].set(kp_aug)
+    oob = (pts[:, 0] < 0) | (pts[:, 1] < 0) | (pts[:, 0] > 640) | (pts[:, 1] > 480)
+    pts = jnp.where(oob[:, None], 0.0, pts)
+
+    # hflip: keypoints use the width-x convention + pair swap
+    # (util.py shufflelr_ori), center mirrors (synthetic_animal.py:201-204)
+    flip = params["flip"]
+    kp_flip = pts.at[:, 0].set(w - pts[:, 0])[flip_perm]
+    pts = jnp.where(flip, kp_flip, pts)
+    center = jnp.asarray(center, jnp.float32)
+    center = jnp.where(flip, center.at[0].set(w - center[0]), center)
+
+    # ---- image: ONE composed gather out(inp^2) <- frame(640x480) ----------
+    t_h = 200.0 * scale
+    t00 = inp / t_h
+    t02 = inp * (-center[0] / t_h + 0.5)
+    t12 = inp * (-center[1] / t_h + 0.5)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (inp, inp), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (inp, inp), 1)
+    # crop inverse (continuous twin of util.get_transform; the -1/+1 integer
+    # quirks only affect the keypoint path, kept exact below)
+    fx = (xs - t02) / t00
+    fy = (ys - t12) / t00
+    # image flip follows the array-reverse convention (w-1-x), matching
+    # util.fliplr (the reference's kp/image flips differ by 1px; kept)
+    fx = jnp.where(flip, (w - 1.0) - fx, fx)
+    # frame bounds: outside -> 0 (crop_ori zero padding)
+    inside1 = (fx >= 0) & (fx <= w - 1) & (fy >= 0) & (fy <= h - 1)
+    # imgaug affine inverse: outside source frame -> cval
+    m_inv = jnp.linalg.inv(m)
+    qx = m_inv[0, 0] * fx + m_inv[0, 1] * fy + m_inv[0, 2]
+    qy = m_inv[1, 0] * fx + m_inv[1, 1] * fy + m_inv[1, 2]
+    ix = jnp.clip(jnp.round(qx), 0, w - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.round(qy), 0, h - 1).astype(jnp.int32)
+    inside0 = (qx >= -0.5) & (qx <= w - 0.5) & (qy >= -0.5) & (qy <= h - 0.5)
+    flat = canvas.reshape(-1, canvas.shape[-1])
+    img = jnp.take(flat, iy * w + ix, axis=0)  # (inp, inp, 3)
+    img = jnp.where(inside0[..., None], img, params["cval"])
+    img = jnp.where(inside1[..., None], img, 0.0)
+
+    # ---- elementwise ops on the crop, in the drawn order -------------------
+    # blur sigma rescaled from frame px to crop px by the crop zoom
+    zoom = inp / t_h
+    blur_sigma = jnp.clip(params["blur_sigma"] * zoom, 0.0, cfg.max_blur_sigma)
+
+    def op_noise(x):
+        n_full = jax.random.normal(params["noise_key"], x.shape) * (0.5 * 255.0)
+        n_mono = jnp.broadcast_to(n_full[..., :1], x.shape)
+        n = jnp.where(params["noise_pc"], n_full, n_mono)
+        return jnp.clip(x + n, 0.0, 255.0)
+
+    def op_blur(x):
+        return gaussian_blur(x, blur_sigma, cfg.max_blur_sigma)
+
+    def op_contrast(x):
+        alpha = jnp.where(params["contrast_pc"], params["alphas"],
+                          jnp.broadcast_to(params["alpha_shared"], (3,)))
+        return jnp.clip((x - 128.0) * alpha + 128.0, 0.0, 255.0)
+
+    def step(x, op_idx):
+        gated = params["gates"][op_idx]
+        y = jax.lax.switch(op_idx, [lambda v: v, op_noise, op_blur, op_contrast], x)
+        return jnp.where(gated, y, x), None
+
+    img, _ = jax.lax.scan(step, img, params["perm"])
+
+    # crop_ori's legacy scipy-imresize BYTESCALE quirk: the crop region is
+    # min-max stretched to [0, 255] and quantized to the uint8 grid before
+    # the final /255 (data/util.py:189-218). Computed over the resized crop
+    # (the host stretches the pre-resize region; extremes match closely).
+    cmin = jnp.min(img)
+    cscale = jnp.maximum(jnp.max(img) - cmin, 1e-12)
+    img = jnp.floor(jnp.clip((img - cmin) * (255.0 / cscale), 0, 255) + 0.5)
+    img = img / 255.0
+    if mean is not None:
+        img = img - jnp.asarray(mean, jnp.float32)
+        if std is not None:
+            img = img / jnp.asarray(std, jnp.float32)
+
+    # ---- targets: exact MPII transform + window-rule labelmaps -------------
+    gate = pts[:, 1] > 0  # transform/render only when original-frame y > 0
+    tpts = mpii_transform_points(pts[:, :2] + 1.0, center, scale, cfg.out_res)
+    kp2d = jnp.where(gate[:, None],
+                     mpii_transform_points(pts[:, :2] + 1.0, center, scale,
+                                           inp).astype(jnp.float32),
+                     pts[:, :2])
+
+    def per_joint(pt, v, g):
+        hm, win_vis = draw_labelmap(pt - 1, cfg.sigma, cfg.out_res, cfg.label_type)
+        hm = jnp.where(g, hm, 0.0)
+        weight = jnp.where(g, v * win_vis, v)
+        return hm, weight
+
+    target, weight = jax.vmap(per_joint)(tpts, pts[:, 2], gate)
+    return {"image": img, "target": target, "target_weight": weight[:, None],
+            "keypoint2d": kp2d}
+
+
+def animal_source_view(rng, canvas, pts, center, scale, flip_perm,
+                       cfg: AnimalSourceAugConfig, mean=None, std=None,
+                       is_aug: bool = True):
+    params = draw_animal_source_params(rng, cfg)
+    if not is_aug:
+        off = {"gates": jnp.zeros(4, bool), "flip": jnp.bool_(False)}
+        params = {**params, **off}
+    return animal_source_apply(params, canvas, pts, center, scale, flip_perm,
+                               cfg, mean=mean, std=std)
+
+
+def animal_source_batch(rng, canvases, pts, centers, scales, flip_perm,
+                        cfg: AnimalSourceAugConfig, mean=None, std=None,
+                        is_aug: bool = True):
+    """Batched source views: canvases (B, H, W, 3) float32 [0,255]."""
+    keys = jax.random.split(rng, canvases.shape[0])
+    return jax.vmap(lambda k, c, p, ce, s: animal_source_view(
+        k, c, p, ce, s, flip_perm, cfg, mean=mean, std=std, is_aug=is_aug))(
+        keys, canvases, pts, centers, scales)
+
+
+def flip_perm_from_pairs(pairs, num_keypoints: int):
+    """FLIP_PAIRS entry -> permutation vector for device-side shufflelr."""
+    import numpy as np
+    perm = np.arange(num_keypoints)
+    for a, b in pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    return perm.astype(np.int32)
+
+
 def rrc_view(rng, image, keypoints, cfg: DeviceAugConfig):
     """Shared RandomResizedCrop base view (the mt pipelines' transforms_base)."""
     size = cfg.image_size

@@ -99,6 +99,13 @@ class StepConfig:
     gather_impl: str = "auto"
     # Run the Pallas kernel in interpret mode (CPU-mesh testing only).
     pallas_interpret: bool = False
+    # False -> the Pallas occlusion gather uses ONE bf16 dot instead of the
+    # hi/lo split (half the MXU FLOPs): it gathers bf16(image) values exactly,
+    # which is bit-equivalent end-to-end when the student/teacher models cast
+    # inputs to bf16 (the trainers' dtype=jnp.bfloat16 configuration) —
+    # gather(bf16(x)) == bf16(gather(x)) because a gather only copies values.
+    # Keep True when the models run in f32 (tests / numeric parity work).
+    gather_exact: bool = True
 
     @property
     def ratio(self) -> float:
@@ -278,50 +285,55 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu,
 
         h = w = s
         half = (s - 1) / 2.0
-        ys0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) - half
-        xs0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) - half
 
-        def indices_one(cb_i, c1_i, c2_i, c3_i, lt, up, ls, us, rb, bb):
-            valid = jnp.ones((h, w), bool)
-            # backward warp index map (last applied)
-            qx, qy, valid = compose_nearest_indices([cb_i], xs0, ys0, valid, h, w)
-            # rectangle remap on absolute integer coords
-            qr = (qy + half).astype(jnp.int32)  # rows (y)
-            qc = (qx + half).astype(jnp.int32)  # cols (x)
-            inside = (qr >= lt) & (qr < rb) & (qc >= up) & (qc < bb)
-            rr = jnp.where(inside, qr - lt + ls, qr)
-            rc = jnp.where(inside, qc - up + us, qc)
-            # forward chain index maps (first applied)
-            fx, fy, valid = compose_nearest_indices(
-                [c1_i, c2_i, c3_i],
-                rc.astype(jnp.float32) - half, rr.astype(jnp.float32) - half,
-                valid, h, w)
-            return fx, fy, valid
-
-        fx, fy, valid = jax.vmap(indices_one)(cb, c1, c2, c3, left, upper,
-                                              left_src, upper_src, right, bottom)
         impl = cfg.gather_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
+            # Fully-fused kernel: the staged index chain is evaluated
+            # in-kernel on per-tile register vectors (the XLA formulation's
+            # full-grid index math cost ~3x the gather itself; PERF.md).
             from ..ops.pallas_warp import (
-                warp_gather_onehot,
-                warp_gather_onehot_sharded,
+                occlusion_warp_onehot,
+                occlusion_warp_onehot_sharded,
             )
-            ix = (fx + half).astype(jnp.int32).reshape(fx.shape[0], -1)
-            iy = (fy + half).astype(jnp.int32).reshape(fy.shape[0], -1)
-            v_flat = valid.reshape(valid.shape[0], -1)
+            coeffs = jnp.stack([cb, c1, c2, c3], axis=1)  # (B, 4, 6)
+            rect = jnp.stack([left, right, upper, bottom, left_src, upper_src],
+                             axis=-1).astype(jnp.int32)  # (B, 6)
             # pallas_call does not auto-partition under GSPMD: single-device
             # meshes call it directly; multi-device meshes go through a
             # shard_map over the batch axis.
             if mesh is not None and mesh.size > 1:
-                occluded = warp_gather_onehot_sharded(
-                    imgs, ix, iy, v_flat, mesh,
-                    interpret=cfg.pallas_interpret)
+                occluded = occlusion_warp_onehot_sharded(
+                    imgs, coeffs, rect, mesh,
+                    interpret=cfg.pallas_interpret, exact=cfg.gather_exact)
             else:
-                occluded = warp_gather_onehot(imgs, ix, iy, v_flat,
-                                              interpret=cfg.pallas_interpret)
+                occluded = occlusion_warp_onehot(imgs, coeffs, rect,
+                                                 interpret=cfg.pallas_interpret,
+                                                 exact=cfg.gather_exact)
         else:
+            ys0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) - half
+            xs0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) - half
+
+            def indices_one(cb_i, c1_i, c2_i, c3_i, lt, up, ls, us, rb, bb):
+                valid = jnp.ones((h, w), bool)
+                # backward warp index map (last applied)
+                qx, qy, valid = compose_nearest_indices([cb_i], xs0, ys0, valid, h, w)
+                # rectangle remap on absolute integer coords
+                qr = (qy + half).astype(jnp.int32)  # rows (y)
+                qc = (qx + half).astype(jnp.int32)  # cols (x)
+                inside = (qr >= lt) & (qr < rb) & (qc >= up) & (qc < bb)
+                rr = jnp.where(inside, qr - lt + ls, qr)
+                rc = jnp.where(inside, qc - up + us, qc)
+                # forward chain index maps (first applied)
+                fx, fy, valid = compose_nearest_indices(
+                    [c1_i, c2_i, c3_i],
+                    rc.astype(jnp.float32) - half, rr.astype(jnp.float32) - half,
+                    valid, h, w)
+                return fx, fy, valid
+
+            fx, fy, valid = jax.vmap(indices_one)(cb, c1, c2, c3, left, upper,
+                                                  left_src, upper_src, right, bottom)
             occluded = jax.vmap(lambda img, x_, y_, v_: gather_nearest(
                 img, x_, y_, v_, h, w))(imgs, fx, fy, valid)
     else:
@@ -400,9 +412,11 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
         if style_model is not None:
             # Both directions stylize against the ORIGINAL tensors
             # (train_human.py:348-356: s2t uses x_t_teas_ori[0], t2s uses
-            # x_s_ori), so the VGG encodings are shared: encode each original
-            # once under a joint cond, decode per drawn direction. Halves the
-            # encoder cost when both directions fire (and scales with k).
+            # x_s_ori), so the VGG encodings are shared: ONE batched encoder
+            # call over [x_s_ori; all k tea views] under a joint cond, then a
+            # lax.switch picks the decoder work for the drawn directions —
+            # when both fire, all 1+k decodes run as ONE batched decoder call
+            # (the decoder has no BatchNorm, so batching is per-sample exact).
             def enc(x):
                 return style_model.apply({"params": style_params}, x,
                                          method=StyleNet.encode)
@@ -414,36 +428,48 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
             from ..ops.adain import adain as adain_fn
 
             any_style = jnp.logical_or(do_s2t, do_t2s)
+            b = x_s.shape[0]
             feat_hw = cfg.image_size // 8
-            feat_shape = (x_s.shape[0], feat_hw, feat_hw, 512)
+            feat_shape = ((1 + cfg.k) * b, feat_hw, feat_hw, 512)
 
             def encode_all(_):
-                return (enc(x_s_ori).astype(jnp.float32),
-                        jnp.stack([enc(x_t_teas[i]).astype(jnp.float32)
-                                   for i in range(cfg.k)]))
+                stacked = jnp.concatenate([x_s_ori[None], x_t_teas], axis=0)
+                f = enc(stacked.reshape((-1,) + stacked.shape[2:]))
+                return f.astype(jnp.float32)
 
-            def zero_feats(_):
-                return (jnp.zeros(feat_shape, jnp.float32),
-                        jnp.zeros((cfg.k,) + feat_shape, jnp.float32))
+            f_all = jax.lax.cond(any_style, encode_all,
+                                 lambda _: jnp.zeros(feat_shape, jnp.float32),
+                                 None)
+            f_s = f_all[:b]
+            f_ts = f_all[b:].reshape((cfg.k, b) + f_all.shape[1:])
 
-            f_s, f_ts = jax.lax.cond(any_style, encode_all, zero_feats, None)
+            # AdaIN targets are VPU-cheap; computing them outside the switch
+            # keeps all branches decoder-only.
+            t_s2t = adain_fn(f_s, f_ts[0], data_format="NHWC")
+            t_s2t = alpha_s2t * t_s2t + (1.0 - alpha_s2t) * f_s
+            t_t2s = jnp.stack([
+                alpha_t2s * adain_fn(f_ts[i], f_s, data_format="NHWC")
+                + (1.0 - alpha_t2s) * f_ts[i]
+                for i in range(cfg.k)])
+            t_t2s_flat = t_t2s.reshape((-1,) + t_t2s.shape[2:])
 
-            def apply_s2t(x):
-                t = adain_fn(f_s, f_ts[0], data_format="NHWC")
-                t = alpha_s2t * t + (1.0 - alpha_s2t) * f_s
-                return _clamp_styled(dec(t), cfg)
+            def case_none():
+                return x_s, x_t_teas
 
-            x_s = jax.lax.cond(do_s2t, apply_s2t, lambda x: x, x_s)
+            def case_s2t():
+                return _clamp_styled(dec(t_s2t), cfg), x_t_teas
 
-            def apply_t2s(xs):
-                outs = []
-                for i in range(cfg.k):
-                    t = adain_fn(f_ts[i], f_s, data_format="NHWC")
-                    t = alpha_t2s * t + (1.0 - alpha_t2s) * f_ts[i]
-                    outs.append(_clamp_styled(dec(t), cfg))
-                return jnp.stack(outs)
+            def case_t2s():
+                g = _clamp_styled(dec(t_t2s_flat), cfg)
+                return x_s, g.reshape(x_t_teas.shape)
 
-            x_t_teas = jax.lax.cond(do_t2s, apply_t2s, lambda xs: xs, x_t_teas)
+            def case_both():
+                g = _clamp_styled(dec(jnp.concatenate([t_s2t, t_t2s_flat])), cfg)
+                return g[:b], g[b:].reshape(x_t_teas.shape)
+
+            case = do_s2t.astype(jnp.int32) + 2 * do_t2s.astype(jnp.int32)
+            x_s, x_t_teas = jax.lax.switch(
+                case, [case_none, case_s2t, case_t2s, case_both])
 
         # k teacher forwards in train mode; running stats chain through views
         tea_stats = state.teacher_stats
