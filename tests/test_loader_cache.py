@@ -45,6 +45,26 @@ def test_cache_hits_and_values():
     assert len(ds) == len(base)
 
 
+def test_cache_u8_grid_canvases_lossless():
+    """Canvases exactly on the uint8/255 grid (PIL-decoded canonical
+    canvases) must round-trip the cache BIT-EXACTLY (uint8 storage), so the
+    engine's packed uint8 transport stays enabled downstream of the cache."""
+
+    class U8Dataset(CountingDataset):
+        def __init__(self):
+            super().__init__()
+            rng = np.random.RandomState(1)
+            self.canvases = (rng.randint(0, 256, (self.n, 32, 32, 3))
+                             .astype(np.float32) / 255.0)
+
+    ds = CachedDataset(U8Dataset())
+    first = [ds[i][0].copy() for i in range(len(ds))]
+    second = [ds[i][0] for i in range(len(ds))]
+    for c1, c2 in zip(first, second):
+        np.testing.assert_array_equal(c2, c1)
+        assert c2.dtype == np.float32
+
+
 def test_cache_byte_bound():
     base = CountingDataset()
     item_bytes = 32 * 32 * 3 * 2  # fp16 canvas dominates
@@ -57,6 +77,45 @@ def test_cache_byte_bound():
     for i in range(len(ds)):
         ds[i]
     assert base.calls == len(base) - cached  # uncached items pass through
+
+
+def test_engine_u8_canvas_transport_exact():
+    """DeviceAugPipeline packs uint8-grid canvases as uint8 for H2D (4x less
+    tunnel traffic); the device-side /255 reproduces the f32 pipeline to
+    within 1 ulp (XLA lowers the division to a reciprocal multiply), and
+    off-grid canvases must fall back to f32."""
+    import jax
+
+    from uda_poseestimation_tpu.engine import DeviceAugPipeline
+    from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+
+    cfg = DeviceAugConfig(image_size=32, heatmap_size=8, sigma=1.0,
+                          rotation=30, shear=(-10, 10), translate=(0.05, 0.05),
+                          scale=(0.9, 1.1), color=0.0, use_rrc=True)
+    mean = [0.485, 0.456, 0.406]
+    std = [0.229, 0.224, 0.225]
+    pipe = DeviceAugPipeline(cfg, cfg, cfg, k=1, mean=mean, std=std)
+
+    rng = np.random.RandomState(0)
+    canvas = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.float32) / 255.0
+    kp = rng.uniform(4, 28, (2, 4, 2)).astype(np.float32)
+    w = np.ones((2, 4, 1), np.float32)
+    meta = {"keypoint2d": kp}
+
+    packed = pipe._pack_canvas(canvas)
+    assert packed.dtype == np.uint8
+
+    key = jax.random.PRNGKey(3)
+    out_u8 = pipe.prep_source(key, np.asarray(packed), kp, w[..., 0])
+    out_f32 = pipe.prep_source(key, canvas, kp, w[..., 0])
+    for a, b in zip(out_u8, out_f32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+    # off-grid canvases must NOT be quantized
+    pipe2 = DeviceAugPipeline(cfg, cfg, cfg, k=1, mean=mean, std=std)
+    off = canvas + 7e-4
+    assert pipe2._pack_canvas(off).dtype == np.float32
 
 
 def test_cache_composes_with_loader():

@@ -329,6 +329,27 @@ def test_pretrain_step_with_style():
         assert np.isfinite(float(metrics["loss_all"])), do
 
 
+def test_decoder_batching_per_sample_exact():
+    """The style switch's both-directions case decodes s2t and t2s targets
+    as ONE batched decoder call; valid because the decoder has no BatchNorm,
+    so batching must be per-sample exact (this is the invariant)."""
+    style = StyleNet()
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(0))["params"]
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 8, 8, 512).astype(np.float32))
+    b = jnp.asarray(rng.rand(3, 8, 8, 512).astype(np.float32))
+
+    dec = jax.jit(lambda t: style.apply({"params": params}, t,
+                                        method=StyleNet.decode))
+    d_cat = dec(jnp.concatenate([a, b]))
+    np.testing.assert_allclose(np.asarray(d_cat[:2]), np.asarray(dec(a)),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_cat[2:]), np.asarray(dec(b)),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_run_validate_sharded_matches_single_device():
     """Sharded validation (mesh over 8 devices, padded batches) must produce
     the same group PCK and mean loss as the unsharded loop — including a

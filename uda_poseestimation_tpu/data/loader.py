@@ -94,12 +94,27 @@ class DataLoader:
             yield item
 
 
+class _U8Canvas:
+    """Marker wrapper: a float canvas stored losslessly as uint8*255."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+
 def _compress(obj):
-    """float32 image-sized arrays -> float16 for cache storage (canvases are
-    normalized images; fp16's 2^-11 rounding is far below augmentation
-    noise); small arrays (keypoints, weights) stay exact."""
+    """Image-sized float32 arrays compress for cache storage: LOSSLESSLY to
+    uint8 when exactly on the uint8/255 grid (every PIL-decoded canonical
+    canvas — keeps the engine's packed uint8 host->device transport exact),
+    else to float16 (2^-11 rounding, far below augmentation noise). Small
+    arrays (keypoints, weights) stay exact."""
     if isinstance(obj, np.ndarray):
         if obj.dtype == np.float32 and obj.ndim >= 3:
+            q = np.round(obj * 255.0)
+            if obj.size and np.max(np.abs(q / 255.0 - obj)) < 1e-6 \
+                    and q.min() >= 0 and q.max() <= 255:
+                return _U8Canvas(q.astype(np.uint8))
             return obj.astype(np.float16)
         return obj
     if isinstance(obj, dict):
@@ -110,6 +125,8 @@ def _compress(obj):
 
 
 def _restore(obj):
+    if isinstance(obj, _U8Canvas):
+        return obj.arr.astype(np.float32) / 255.0
     if isinstance(obj, np.ndarray):
         return obj.astype(np.float32) if obj.dtype == np.float16 else obj
     if isinstance(obj, dict):
@@ -120,6 +137,8 @@ def _restore(obj):
 
 
 def _nbytes(obj):
+    if isinstance(obj, _U8Canvas):
+        return obj.arr.nbytes
     if isinstance(obj, np.ndarray):
         return obj.nbytes
     if isinstance(obj, dict):

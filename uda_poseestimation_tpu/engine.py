@@ -75,10 +75,15 @@ class DeviceAugPipeline:
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
         self._n = 0
+        self._u8_ok = None
+
+        def dev_canvas(c):
+            # uint8 canvases cross host->device 4x smaller; exact /255
+            return c.astype(jnp.float32) / 255.0 if c.dtype == jnp.uint8 else c
 
         def prep_source(rng, canvas, kp, vis):
-            out = augment_batch(rng, canvas, kp, vis, cfg_src, n_views=1,
-                                mean=mean, std=std)
+            out = augment_batch(rng, dev_canvas(canvas), kp, vis, cfg_src,
+                                n_views=1, mean=mean, std=std)
             return (out["image"][0], out["target"][0], out["target_weight"][0],
                     out["keypoint2d"][0])
 
@@ -88,7 +93,7 @@ class DeviceAugPipeline:
             from .ops.device_aug import rrc_batch
 
             r_base, r_stu, r_tea = jax.random.split(rng, 3)
-            base_img, base_kp = rrc_batch(r_base, canvas, kp, cfg_src)
+            base_img, base_kp = rrc_batch(r_base, dev_canvas(canvas), kp, cfg_src)
             stu = augment_batch(r_stu, base_img, base_kp, vis, cfg_stu,
                                 n_views=1, mean=mean, std=std)
             tea = augment_batch(r_tea, base_img, base_kp, vis, cfg_tea,
@@ -100,6 +105,20 @@ class DeviceAugPipeline:
         self.prep_target = jax.jit(prep_target)
         self._prep_source_raw = prep_source
         self._prep_target_raw = prep_target
+
+    def _pack_canvas(self, x):
+        """uint8 transport when the canvas is exactly uint8/255 (PIL
+        decode/resize keeps uint8; ToTensor divides by 255 — true for every
+        canonical-canvas pipeline); the on-device /255 matches the host's to
+        within 1 ulp (XLA reciprocal-multiply division). Checked once on the
+        first batch; falls back to f32 if any value is off the uint8 grid."""
+        x = np.asarray(x, np.float32)
+        if self._u8_ok is None:
+            q = np.round(x * 255.0)
+            self._u8_ok = bool(np.max(np.abs(q / 255.0 - x)) < 1e-6)
+        if self._u8_ok:
+            return np.round(x * 255.0).astype(np.uint8)
+        return x
 
     def view_builder(self, raw_batch, rng):
         """Build the standard adapt-step batch from raw canvases, traceable
@@ -130,14 +149,14 @@ class DeviceAugPipeline:
 
     def raw_source(self, src_tuple):
         x, _t, weight, meta = src_tuple
-        return self._put((np.asarray(x, np.float32),
+        return self._put((self._pack_canvas(x),
                           np.asarray(meta["keypoint2d"], np.float32),
                           np.asarray(weight, np.float32)[..., 0]))
 
     def raw_target(self, tgt_tuple):
         canvas = tgt_tuple[0]
         meta = tgt_tuple[3]
-        return self._put((np.asarray(canvas, np.float32),
+        return self._put((self._pack_canvas(canvas),
                           np.asarray(meta["keypoint2d_ori"], np.float32),
                           np.asarray(meta["target_weight_ori"], np.float32)[..., 0]))
 
