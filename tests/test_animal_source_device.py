@@ -175,6 +175,53 @@ def test_contrast_matches_host_formula():
                                atol=1.01 / 255.0)
 
 
+def test_animal_pipeline_view_builder_with_device_source():
+    """AnimalDeviceAugPipeline with src_cfg builds the FULL adapt batch
+    (source views + target mt views) inside one traceable function — the
+    shape/dtype contract make_adapt_step(view_builder=...) consumes."""
+    import jax
+    import jax.numpy as jnp
+
+    from uda_poseestimation_tpu.engine import AnimalDeviceAugPipeline
+    from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+
+    b, kpts, size, hm = 2, K, 64, 16
+    tgt_cfg = DeviceAugConfig(image_size=size, heatmap_size=hm, sigma=1.0,
+                              rotation=30, shear=(-10, 10),
+                              translate=(0.05, 0.05), scale=(0.9, 1.1),
+                              color=0.0, use_rrc=False)
+    src_cfg = AnimalSourceAugConfig(inp_res=size, out_res=hm, sigma=1.0,
+                                    frame_w=160, frame_h=120)
+    pipe = AnimalDeviceAugPipeline(
+        tgt_cfg, tgt_cfg, k=1, mean=[0.4, 0.39, 0.38], src_cfg=src_cfg,
+        flip_perm=PERM, src_mean=np.array([0.4, 0.39, 0.38], np.float32))
+
+    rng = np.random.RandomState(0)
+    src_meta = {"canvas": (rng.rand(b, 120, 160, 3) * 255).astype(np.uint8),
+                "pts": np.concatenate([rng.uniform(30, 90, (b, K, 2)),
+                                       np.ones((b, K, 1))], -1).astype(np.float32),
+                "center": np.tile([80.0, 60.0], (b, 1)).astype(np.float32),
+                "scale": np.full((b,), 0.4, np.float32)}
+    tgt_meta = {"canvas": (rng.rand(b, size, size, 3) * 255).astype(np.float32),
+                "kp_orig": rng.uniform(10, 50, (b, K, 2)).astype(np.float32),
+                "vis": np.ones((b, K), np.float32),
+                "center": np.tile([32.0, 32.0], (b, 1)).astype(np.float32),
+                "scale": np.full((b,), 0.3, np.float32)}
+    raw = pipe.raw_adapt_batch((None, None, None, src_meta),
+                               (None, None, None, tgt_meta))
+
+    out = jax.jit(pipe.view_builder)(raw, jax.random.PRNGKey(0))
+    assert out["image_s"].shape == (b, size, size, 3)
+    assert out["target_s"].shape == (b, K, hm, hm)
+    assert out["weight_s"].shape == (b, K, 1)
+    assert out["image_t_stu"].shape == (b, size, size, 3)
+    assert out["images_t_tea"].shape == (1, b, size, size, 3)
+    assert out["aug_param_stu"].shape == (b, 6)
+    assert out["aug_params_tea"].shape == (1, b, 6)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
 def test_batch_runs_and_normalizes():
     rng = np.random.RandomState(5)
     b = 3
