@@ -1,0 +1,106 @@
+"""Engine epoch-loop coverage: the pipelined pretrain loop with style
+transfer under --device-aug (the style_image path), for both pipeline
+flavors. The trainer smokes cover the no-style configurations end to end."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uda_poseestimation_tpu.engine import (
+    AnimalDeviceAugPipeline,
+    DeviceAugPipeline,
+    run_pretrain_epoch,
+)
+from uda_poseestimation_tpu.models import StyleNet
+from uda_poseestimation_tpu.models.pose_resnet import PoseResNet
+from uda_poseestimation_tpu.models import resnet as resnet_lib
+from uda_poseestimation_tpu.ops import generate_target_batch
+from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+from uda_poseestimation_tpu.parallel import (
+    StepConfig,
+    create_state,
+    make_mesh,
+    make_pretrain_step,
+    replicate,
+)
+
+B, K, SIZE, HM = 8, 4, 32, 16  # B divisible by the 8-device mesh
+MEAN = [0.485, 0.456, 0.406]
+STD = [0.229, 0.224, 0.225]
+
+
+def _cfg(**kw):
+    base = dict(image_size=SIZE, heatmap_size=HM, sigma=1.0, rotation=30,
+                shear=(-10, 10), translate=(0.05, 0.05), scale=(0.9, 1.1),
+                color=0.0)
+    base.update(kw)
+    return DeviceAugConfig(**base)
+
+
+def _src_item(rng):
+    x = rng.randint(0, 256, (B, SIZE, SIZE, 3)).astype(np.float32) / 255.0
+    kp = rng.uniform(4, SIZE - 4, (B, K, 2)).astype(np.float32)
+    tgt, w = generate_target_batch(kp, np.ones((B, K), np.float32),
+                                   (HM, HM), 1.0, (SIZE, SIZE))
+    return (x, np.asarray(tgt), np.asarray(w), {"keypoint2d": kp})
+
+
+def _tgt_item(rng):
+    canvas = rng.randint(0, 256, (B, SIZE, SIZE, 3)).astype(np.float32) / 255.0
+    kp = rng.uniform(4, SIZE - 4, (B, K, 2)).astype(np.float32)
+    meta = {"keypoint2d_ori": kp,
+            "target_weight_ori": np.ones((B, K, 1), np.float32)}
+    teas = [canvas.copy()]
+    return (canvas, None, None, meta, teas, None, None, [meta])
+
+
+class _Forever:
+    def __init__(self, make, seed):
+        self.make = make
+        self.rng = np.random.RandomState(seed)
+
+    def __next__(self):
+        return self.make(self.rng)
+
+
+def test_pretrain_epoch_with_style_and_device_aug():
+    cfg = StepConfig(image_size=SIZE, heatmap_size=HM, sigma=1.0, k=1)
+    model = PoseResNet(backbone=resnet_lib.ResNet(
+        block=resnet_lib.BasicBlock, stage_sizes=[1, 1, 1]), num_keypoints=K)
+    state = create_state(model, jax.random.PRNGKey(0), cfg, batch_size=2)
+    style = StyleNet()
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    style_params = jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(1))["params"]
+    mesh = make_mesh(8)
+    state = replicate(state, mesh)
+    style_params = replicate(style_params, mesh)
+
+    step = make_pretrain_step(model, cfg, style_model=style)
+    pipe = DeviceAugPipeline(_cfg(use_rrc=True), _cfg(use_rrc=False),
+                             _cfg(use_rrc=False), k=1, mean=MEAN, std=STD,
+                             mesh=mesh)
+    args = SimpleNamespace(iters_per_epoch=2, print_freq=10,
+                           image_size=SIZE, heatmap_size=HM,
+                           s2t_freq=1.0, s2t_alpha=(0.5, 0.5))
+    np.random.seed(0)
+    state = run_pretrain_epoch(state, style_params, step, mesh,
+                               _Forever(_src_item, 1), _Forever(_tgt_item, 2),
+                               epoch=0, lr=1e-4, args=args,
+                               style_enabled=True, device_aug=pipe)
+    assert int(jax.device_get(state.step)) == 2
+
+
+def test_animal_style_image_normalizes():
+    tgt_cfg = _cfg(use_rrc=False)
+    pipe = AnimalDeviceAugPipeline(tgt_cfg, tgt_cfg, k=1,
+                                   mean=[0.4, 0.39, 0.38])
+    rng = np.random.RandomState(0)
+    teas = [rng.rand(B, SIZE, SIZE, 3).astype(np.float32)]
+    tgt_tuple = (None, None, None, {}, teas, None, None, None)
+    out = np.asarray(pipe.style_image(tgt_tuple))
+    np.testing.assert_allclose(out, teas[0] - np.array([0.4, 0.39, 0.38],
+                                                       np.float32),
+                               atol=1e-6)
