@@ -132,7 +132,8 @@ def test_pipeline_learns():
         teacher_stats=jax.tree_util.tree_map(jnp.copy, state.student_stats))
 
     aug_tea = identity_aug()
-    for i in range(80):
+    n_adapt = 80
+    for i in range(n_adapt):
         # real rotated student view + matching aug_param (the step un-warps
         # the student heatmaps through the same chain)
         aug_stu = identity_aug()
@@ -153,6 +154,13 @@ def test_pipeline_learns():
         state, metrics, _ = adapt_step(
             state, None, abatch, lr, jax.random.PRNGKey(1000 + i),
             jnp.bool_(False), jnp.float32(0.0), jnp.bool_(False), jnp.float32(0.0))
+        if i >= 20 and i % 10 == 0:  # early exit once both clearly improved
+            p_stu = pck(state.student_params, state.student_stats,
+                        tgt_imgs, tgt_tgt, tgt_w)
+            p_tea = pck(state.teacher_params, state.teacher_stats,
+                        tgt_imgs, tgt_tgt, tgt_w)
+            if p_stu > 0.95 and p_tea > 0.95:
+                break
     m = jax.device_get(metrics)
     assert np.isfinite(float(m["loss_all"]))
     assert np.isfinite(float(m["loss_c"]))

@@ -211,6 +211,8 @@ class AnimalDeviceAugPipeline:
         def builder(raw_batch, rng):
             r_stu, r_tea, r_src = jax.random.split(rng, 3)
             canvas = raw_batch["canvas_t"]
+            if canvas.dtype == jnp.uint8:  # uint8 H2D transport; /255 on device
+                canvas = canvas.astype(jnp.float32) / 255.0
             kp = raw_batch["kp_t"]
             vis = raw_batch["vis_t"]
             c = raw_batch["center_t"]
@@ -263,8 +265,11 @@ class AnimalDeviceAugPipeline:
 
     def raw_adapt_batch(self, src_tuple, tgt_tuple):
         meta = tgt_tuple[3]
+        canvas_t = np.asarray(meta["canvas"])
+        if canvas_t.dtype != np.uint8:  # keep legacy float canvases working
+            canvas_t = canvas_t.astype(np.float32) / 255.0
         batch = {
-            "canvas_t": np.asarray(meta["canvas"], np.float32) / 255.0,
+            "canvas_t": canvas_t,
             "kp_t": np.asarray(meta["kp_orig"], np.float32),
             "vis_t": np.asarray(meta["vis"], np.float32),
             "center_t": np.asarray(meta["center"], np.float32),
