@@ -132,7 +132,7 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                      # bit-equivalent (see StepConfig.gather_exact)
                      gather_exact=False)
     model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
-                                       dtype=jnp.bfloat16)
+                                       finetune=args.finetune, dtype=jnp.bfloat16)
     if getattr(model, "finetune", False):
         # ctor flag -> 0.1x backbone lr (reference get_parameters groups)
         import dataclasses as _dc
@@ -433,6 +433,9 @@ def build_parser():
                         help="In the debug mode, save images and predictions")
     parser.add_argument("--mask-ratio", type=float, default=0.5, help="")
     parser.add_argument("--SGD", action="store_true", help="")
+    parser.add_argument("--finetune", action="store_true",
+                        help="0.1x learning rate on the backbone (the reference's\n"
+                             "get_parameters finetune param groups)")
     parser.add_argument("--pretrain-epoch", type=int, default=-1, help="pretrain-epoch")
     parser.add_argument("--occlude-rate", type=float, default=0.5)
     parser.add_argument("--occlude-thresh", type=float, default=0.9, help="")

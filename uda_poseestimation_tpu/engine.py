@@ -56,7 +56,30 @@ def make_adapt_batch(src_tuple, tgt_tuple):
     }
 
 
-class DeviceAugPipeline:
+class _DeviceAugBase:
+    """Shared host-side plumbing for the --device-aug pipelines: per-call
+    RNG folding and mesh-aware device placement."""
+
+    mesh = None
+    rng = None
+    _n = 0
+
+    def next_rng(self):
+        self._n += 1
+        return jax.random.fold_in(self.rng, self._n)
+
+    def _put(self, arrays):
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        return tuple(shard_batch(list(arrays), self.mesh))
+
+    def _put_tree(self, tree):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in tree.items()}
+        return shard_batch(tree, self.mesh)
+
+
+class DeviceAugPipeline(_DeviceAugBase):
     """Jitted on-device view generation for the --device-aug fast path.
 
     Host datasets supply one canonical canvas per sample (Resize/ResizePad +
@@ -75,7 +98,6 @@ class DeviceAugPipeline:
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(seed)
         self._n = 0
-        self._u8_ok = None
 
         def dev_canvas(c):
             # uint8 canvases cross host->device 4x smaller; exact /255
@@ -110,14 +132,16 @@ class DeviceAugPipeline:
         """uint8 transport when the canvas is exactly uint8/255 (PIL
         decode/resize keeps uint8; ToTensor divides by 255 — true for every
         canonical-canvas pipeline); the on-device /255 matches the host's to
-        within 1 ulp (XLA reciprocal-multiply division). Checked once on the
-        first batch; falls back to f32 if any value is off the uint8 grid."""
-        x = np.asarray(x, np.float32)
-        if self._u8_ok is None:
-            q = np.round(x * 255.0)
-            self._u8_ok = bool(np.max(np.abs(q / 255.0 - x)) < 1e-6)
-        if self._u8_ok:
-            return np.round(x * 255.0).astype(np.uint8)
+        within 1 ulp (XLA reciprocal-multiply division). Checked per batch —
+        any batch off the uint8 grid ships as f32 (mixed datasets, float
+        decode paths); already-uint8 inputs pass straight through."""
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            return x
+        x = x.astype(np.float32, copy=False)
+        q = np.round(x * 255.0)
+        if np.max(np.abs(q / 255.0 - x)) < 1e-6:
+            return q.astype(np.uint8)
         return x
 
     def view_builder(self, raw_batch, rng):
@@ -137,15 +161,6 @@ class DeviceAugPipeline:
         canvas_t, kp_t, vis_t = self.raw_target(tgt_tuple)
         return {"canvas_s": canvas_s, "kp_s": kp_s, "vis_s": vis_s,
                 "canvas_t": canvas_t, "kp_t": kp_t, "vis_t": vis_t}
-
-    def next_rng(self):
-        self._n += 1
-        return jax.random.fold_in(self.rng, self._n)
-
-    def _put(self, arrays):
-        if self.mesh is None:
-            return tuple(jnp.asarray(a) for a in arrays)
-        return tuple(shard_batch(list(arrays), self.mesh))
 
     def raw_source(self, src_tuple):
         x, _t, weight, meta = src_tuple
@@ -168,7 +183,7 @@ class DeviceAugPipeline:
         return teas[0]
 
 
-class AnimalDeviceAugPipeline:
+class AnimalDeviceAugPipeline(_DeviceAugBase):
     """--device-aug for the animal trainers: ALL random views on device.
 
     Target mt student/teacher views — affine warp + original-frame keypoint
@@ -239,29 +254,21 @@ class AnimalDeviceAugPipeline:
 
         self.view_builder = builder
 
-    def next_rng(self):
-        self._n += 1
-        return jax.random.fold_in(self.rng, self._n)
-
     def raw_source(self, src_tuple):
         """Raw-mode source tuple -> device arrays for prep_source."""
         meta = src_tuple[3]
-        batch = (np.asarray(meta["canvas"], np.uint8),
-                 np.asarray(meta["pts"], np.float32),
-                 np.asarray(meta["center"], np.float32),
-                 np.asarray(meta["scale"], np.float32))
-        if self.mesh is None:
-            return tuple(jnp.asarray(v) for v in batch)
-        return tuple(shard_batch(list(batch), self.mesh))
+        return self._put((np.asarray(meta["canvas"], np.uint8),
+                          np.asarray(meta["pts"], np.float32),
+                          np.asarray(meta["center"], np.float32),
+                          np.asarray(meta["scale"], np.float32)))
 
     def style_image(self, tgt_tuple):
-        """Pretrain s2t style image: the identity teacher view, normalized
-        (the mt datasets under --device-aug skip host normalization)."""
+        """Pretrain s2t style image: the identity teacher view, used AS-IS —
+        the animal mt datasets color_normalize teacher views on the host even
+        under --device-aug (real_animal.py:260), exactly what the reference
+        feeds (x_t_teas_ori[0])."""
         img = np.asarray(tgt_tuple[4][0], np.float32)
-        img = jnp.asarray(img) - jnp.asarray(self._mean, jnp.float32)
-        if self.mesh is not None:
-            img = shard_batch([img], self.mesh)[0]
-        return img
+        return self._put([img])[0]
 
     def raw_adapt_batch(self, src_tuple, tgt_tuple):
         meta = tgt_tuple[3]
@@ -290,9 +297,7 @@ class AnimalDeviceAugPipeline:
                 "target_s": np.asarray(label_s, np.float32),
                 "weight_s": np.asarray(weight_s, np.float32),
             })
-        if self.mesh is None:
-            return {k_: jnp.asarray(v) for k_, v in batch.items()}
-        return shard_batch(batch, self.mesh)
+        return self._put_tree(batch)
 
 
 class StyleGate:

@@ -157,7 +157,11 @@ def occlusion_warp_onehot(imgs, coeffs, rect, interpret: bool = False,
     exact gather (exact=True) or to its bf16-cast values (exact=False).
     """
     b, c, h, w = imgs.shape
-    assert h == w and (w & (w - 1)) == 0, (h, w)
+    if h != w or (w & (w - 1)) != 0:
+        raise ValueError(
+            f"occlusion_warp_onehot needs a square power-of-two image size "
+            f"(shift/mask row-col split); got {h}x{w} — use the XLA path "
+            f"(StepConfig.gather_impl='xla') for other sizes")
     hw = h * w
     tile = min(hw, 2048)
     assert hw % tile == 0

@@ -289,6 +289,10 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu,
         impl = cfg.gather_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas" and (s & (s - 1)) != 0:
+            # the fused kernel's shift/mask row-col split needs a power-of-two
+            # image size (all canonical configs); other sizes use XLA
+            impl = "xla"
         if impl == "pallas":
             # Fully-fused kernel: the staged index chain is evaluated
             # in-kernel on per-tile register vectors (the XLA formulation's
