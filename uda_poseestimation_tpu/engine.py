@@ -506,10 +506,14 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
         pad_to = ((pad_to + n - 1) // n) * n
     end = time.time()
 
-    # one-deep software pipeline: dispatch batch i before reading back batch
-    # i-1's scalars, hiding dispatch/readback latency (significant on
-    # tunneled TPUs, harmless elsewhere — results are jax futures anyway)
-    pending = None
+    # multi-deep software pipeline: eval batches are independent, so keep a
+    # few dispatched ahead of the scalar readback — hides dispatch/readback
+    # latency (significant on tunneled TPUs, harmless elsewhere; results are
+    # jax futures anyway). Depth bounds in-flight device memory.
+    from collections import deque
+
+    depth = 3
+    pending = deque()
 
     def flush(pending_item):
         nonlocal end
@@ -552,9 +556,9 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
         else:
             x_d, label_d, weight_d = jnp.asarray(x), jnp.asarray(label), jnp.asarray(weight)
         y, loss, acc_per_kpt = eval_step(params, stats, x_d, label_d, weight_d)
-        if pending is not None:
-            flush(pending)
-        pending = (i, n_real, x, y, loss, acc_per_kpt, meta)
-    if pending is not None:
-        flush(pending)
+        pending.append((i, n_real, x, y, loss, acc_per_kpt, meta))
+        if len(pending) >= depth:
+            flush(pending.popleft())
+    while pending:
+        flush(pending.popleft())
     return val_loader.dataset.group_accuracy(acc.average())
