@@ -53,6 +53,12 @@ ANIMAL_MEAN = [0.3999, 0.3909, 0.3871]
 
 
 def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
+    # the axon TPU plugin can win platform selection over the
+    # JAX_PLATFORMS env var; honor it explicitly (CPU-mesh smokes and
+    # CI rely on it)
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     logger = CompleteLogger(args.log + "_" + args.arch, args.phase)
     logger.write(" ".join(f"{k}={v}" for k, v in vars(args).items()))
     if args.seed is not None:

@@ -88,6 +88,12 @@ def build_transforms(args):
 
 
 def main(args: argparse.Namespace):
+    # the axon TPU plugin can win platform selection over the
+    # JAX_PLATFORMS env var; honor it explicitly (CPU-mesh smokes and
+    # CI rely on it)
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     logger = CompleteLogger(args.log + "_" + args.arch, args.phase)
     logger.write(" ".join(f"{k}={v}" for k, v in vars(args).items()))
     if args.seed is not None:
