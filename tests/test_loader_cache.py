@@ -118,6 +118,47 @@ def test_engine_u8_canvas_transport_exact():
     assert pipe2._pack_canvas(off).dtype == np.float32
 
 
+def test_frame_cache_lossless_and_bounded(tmp_path):
+    """FrameCache: cached loads are bit-identical to fresh loads (uint8
+    round-trip), the byte bound holds, and max_bytes=0 disables caching."""
+    from PIL import Image
+
+    from uda_poseestimation_tpu.data.util import FrameCache, load_image_ori
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(rng.randint(0, 256, (20, 24, 3)).astype(np.uint8)).save(p)
+        paths.append(p)
+
+    fc = FrameCache(max_bytes=2 * 20 * 24 * 3)  # room for exactly 2 frames
+    fresh = [load_image_ori(p) for p in paths]
+    first = [fc.load(p) for p in paths]
+    again = [fc.load(p) for p in paths]
+    for f, a, b in zip(fresh, first, again):
+        np.testing.assert_array_equal(a, f)
+        np.testing.assert_array_equal(b, f)
+    assert len(fc._cache) == 2  # bounded
+
+    off = FrameCache(max_bytes=0)
+    np.testing.assert_array_equal(off.load(paths[0]), fresh[0])
+    assert not off._cache
+
+    # uint8 variant
+    calls = []
+
+    def decode(p):
+        calls.append(p)
+        return np.asarray(Image.open(p))
+
+    fc2 = FrameCache(max_bytes=1e6)
+    a = fc2.load_u8(paths[0], decode)
+    b = fc2.load_u8(paths[0], decode)
+    np.testing.assert_array_equal(a, b)
+    assert len(calls) == 1
+
+
 def test_cache_composes_with_loader():
     base = CountingDataset()
     ds = CachedDataset(base)

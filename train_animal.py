@@ -452,9 +452,10 @@ def build_parser():
                              "sources) the imgaug/flip/crop source pipeline "
                              "(TPU fast path; ops/device_aug.py deviation note)")
     parser.add_argument("--decode-cache", type=float, default=0.0,
-                        help="GB of decoded-frame cache for the raw-mode "
-                             "source dataset (only with --device-aug); 0 "
-                             "disables")
+                        help="GB of decoded-frame cache: raw-mode source "
+                             "items under --device-aug, plus frame-level "
+                             "caches inside the TigDog/animal-pose/synthetic "
+                             "datasets (any mode); 0 disables")
     return parser
 
 

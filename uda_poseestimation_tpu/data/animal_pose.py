@@ -20,6 +20,7 @@ from PIL import Image
 from .keypoint_dataset import Animal14KeypointDataset
 from .synthetic_animal import cached_data_dir, load_mean_file
 from .util import (
+    FrameCache,
     color_normalize,
     crop_ori,
     draw_labelmap_ori,
@@ -67,6 +68,8 @@ class Animal_Pose(Animal14KeypointDataset):
         self.val_set = []
         self._load_animal()
         self.mean, self.std = self._compute_mean()
+        # frame-decode cache, bounded by the --decode-cache GB flag
+        self._frames = FrameCache(float(kwargs.get("decode_cache", 0) or 0) * 1e9)
 
     def _load_animal(self):
         for animal in sorted(self.animal):
@@ -95,7 +98,7 @@ class Animal_Pose(Animal14KeypointDataset):
         image_map = self.anno_dict["images"]
         imagename = image_map[str(anno_list[index]["image_id"])]
         image_path = os.path.join(self.img_folder, "animal-pose", "images", imagename)
-        img = load_image_ori(image_path)
+        img = self._frames.load(image_path)
         pts = np.array(anno_list[index]["keypoints"]).astype(np.float32)[self.pts_index]
         x_min, y_min, x_max, y_max = anno_list[index]["bbox"]
         c = np.array([(x_min + x_max) / 2.0, (y_min + y_max) / 2.0], np.float32)

@@ -25,6 +25,7 @@ from scipy.io import loadmat
 from .keypoint_dataset import Animal18KeypointDataset
 from .synthetic_animal import cached_data_dir, load_mean_file
 from .util import (
+    FrameCache,
     color_normalize,
     crop_ori,
     draw_labelmap_ori,
@@ -135,6 +136,9 @@ class Real_Animal_All(Animal18KeypointDataset):
                      self.valid_img_set, self.valid_pts_set,
                      self.tune_img_set, self.tune_pts_set)
         self.mean, self.std = _synthetic_mean(self.animal[0], self.train_on_all_cat)
+        # frame-decode cache: TigDog revisits the same frames every epoch;
+        # bounded by the --decode-cache GB flag (flows in via **vars(args))
+        self._frames = FrameCache(float(kwargs.get("decode_cache", 0) or 0) * 1e9)
 
     def __getitem__(self, index):
         if self.is_train:
@@ -146,7 +150,7 @@ class Real_Animal_All(Animal18KeypointDataset):
 
         a = img_list[index][0]
         img_path = os.path.join(self.img_folder, "behaviorDiscovery2.0", a)
-        img = load_image_ori(img_path)  # HWC [0,1]
+        img = self._frames.load(img_path)  # HWC [0,1]
         pts = anno_list[index].astype(np.float32)
         c, s = _bbox_center_scale(img, pts)
         nparts = pts.shape[0]
@@ -202,7 +206,7 @@ class Real_Animal_All_mt(Real_Animal_All):
 
         a = img_list[index][0]
         img_path = os.path.join(self.img_folder, "behaviorDiscovery2.0", a)
-        img = load_image_ori(img_path)
+        img = self._frames.load(img_path)
         pts = anno_list[index].astype(np.float32)
         nparts = pts.shape[0]
         c, s = _bbox_center_scale(img, pts)

@@ -25,6 +25,7 @@ from PIL import Image
 from .animal_aug import AnimalAugmentation
 from .keypoint_dataset import Animal14KeypointDataset, Animal18KeypointDataset
 from .util import (
+    FrameCache,
     color_normalize,
     crop_ori,
     draw_labelmap_ori,
@@ -111,6 +112,11 @@ class _SyntheticAnimalBase:
         # (ops.device_aug.animal_source_batch). Decode-only items are
         # deterministic, so they compose with data.loader.CachedDataset.
         self.raw_mode = bool(kwargs.get("raw_mode", False)) and is_train
+        # host-path frame-decode cache (--decode-cache GB); raw_mode items go
+        # through data.loader.CachedDataset instead (avoid double caching)
+        self._frames = FrameCache(
+            0.0 if self.raw_mode
+            else float(kwargs.get("decode_cache", 0) or 0) * 1e9)
 
         self.data_dict = {}
         self.train_set = []
@@ -189,8 +195,11 @@ class _SyntheticAnimalBase:
         c = np.array([(x_min + x_max) / 2.0, (y_min + y_max) / 2.0], np.float32)
         s = max(x_max - x_min, y_max - y_min) / 200.0 * 1.25
 
-        with Image.open(img_path) as im:
-            img = np.asarray(im)[:, :, :3]  # drop alpha like the reference
+        def _decode(p):
+            with Image.open(p) as im:
+                return np.ascontiguousarray(np.asarray(im)[:, :, :3])
+
+        img = self._frames.load_u8(img_path, _decode)  # alpha dropped (ref)
 
         if self.raw_mode:
             meta = {"index": index, "canvas": np.ascontiguousarray(img),

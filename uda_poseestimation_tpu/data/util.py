@@ -319,6 +319,50 @@ def load_image_ori(img_path):
         return im_to_float(np.asarray(im.convert("RGB")))
 
 
+class FrameCache:
+    """Bounded decoded-frame cache for the animal datasets.
+
+    Training revisits the same frames every epoch; on a single-core host the
+    PIL decode dominates (PERF.md). Frames are stored as uint8 — the
+    round-trip uint8 -> /255 is exact for PIL-decoded images, so cached and
+    fresh loads are bit-identical. ``max_bytes <= 0`` disables caching (the
+    reference relies on the OS page cache instead). Once full, further
+    frames load uncached.
+    """
+
+    def __init__(self, max_bytes: float = 0.0):
+        self.max_bytes = float(max_bytes or 0)
+        self._cache = {}
+        self._bytes = 0
+
+    def load(self, path):
+        if self.max_bytes <= 0:
+            return load_image_ori(path)
+        hit = self._cache.get(path)
+        if hit is not None:
+            return hit.astype(np.float32) / 255.0
+        img = load_image_ori(path)
+        if self._bytes < self.max_bytes:
+            u8 = np.round(img * 255.0).astype(np.uint8)
+            self._cache[path] = u8
+            self._bytes += u8.nbytes
+        return img
+
+    def load_u8(self, path, decode_fn):
+        """Cache arbitrary uint8 frames produced by ``decode_fn(path)``.
+        Callers must treat the returned array as read-only."""
+        if self.max_bytes <= 0:
+            return decode_fn(path)
+        hit = self._cache.get(path)
+        if hit is not None:
+            return hit
+        u8 = decode_fn(path)
+        if self._bytes < self.max_bytes:
+            self._cache[path] = u8
+            self._bytes += u8.nbytes
+        return u8
+
+
 def visualize_heatmap(image, heatmaps, filename):
     """Overlay per-keypoint heatmaps on an image (util.py:126-135)."""
     import cv2
