@@ -200,6 +200,114 @@ def test_reference_checkpoint_roundtrip(tmp_path, blocks, factory_name):
         assert avg == pytest.approx(avg_ref)
 
 
+# --- write direction: framework checkpoints must be torch-readable ----------
+# SURVEY §5 checkpoint contract: reference-side tooling torch.loads
+# best_pt.pth/best.pth and load_state_dicts the model entries
+# (train_human.py:226-237). save_checkpoint writes exactly that; round trip
+# through convert_pose_resnet must be bit-exact (pure transposes).
+
+def test_framework_checkpoint_torch_readable(tmp_path):
+    import optax
+
+    from uda_poseestimation_tpu.utils.checkpoint import (
+        filtered_update,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    num_kpts = 4
+    model = pose_resnet50(num_keypoints=num_kpts)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    # distinguishable teacher + non-trivial optimizer state
+    teacher = jax.tree_util.tree_map(lambda x: x + 0.01, variables["params"])
+    tx = optax.scale_by_adam()
+    opt_state = tx.init(variables["params"])
+    grads = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
+    _, opt_state = tx.update(grads, opt_state, variables["params"])
+
+    path = str(tmp_path / "best_pt.pth")
+    save_checkpoint(path, {
+        "student": {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]},
+        "teacher": {"params": teacher,
+                    "batch_stats": variables["batch_stats"]},
+        "stu_optimizer": opt_state,
+        "lr_scheduler": {"epoch": 2, "milestones": [45, 60], "gamma": 0.1},
+        "epoch": 2,
+        "args": {"arch": "pose_resnet50"},
+    })
+
+    # 1) plain torch.load sees the reference's contract: module.-prefixed
+    #    torch-tensor state dicts that load_state_dict into a torch model
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(raw) >= {"student", "teacher", "stu_optimizer",
+                        "lr_scheduler", "epoch", "args"}
+    sd = raw["student"]
+    assert all(k.startswith("module.") for k in sd)
+    assert all(isinstance(v, torch.Tensor) for v in sd.values())
+    ref_model = TorchPoseResNet(num_keypoints=num_kpts)
+    ref_model.load_state_dict({k[len("module."):]: v for k, v in sd.items()})
+    ref_model.eval()
+
+    # 2) the torch forward matches our forward under the written weights
+    gen = torch.Generator().manual_seed(7)
+    x = torch.randn(2, 3, 64, 64, generator=gen)
+    with torch.no_grad():
+        y_ref = ref_model(x).numpy()
+    y = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False))
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
+
+    # 3) re-porting to Flax is bit-exact for every leaf (student AND teacher)
+    ckpt = load_checkpoint(path)
+    for role, src in (("student", variables["params"]), ("teacher", teacher)):
+        merged = filtered_update(jax.tree_util.tree_map(np.asarray, src),
+                                 ckpt[role]["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(merged),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(np.asarray, src))):
+            np.testing.assert_array_equal(a, b)
+
+    # 4) optimizer state round-trips through the resume path
+    import flax.serialization
+    restored = flax.serialization.from_state_dict(opt_state,
+                                                  ckpt["stu_optimizer"])
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt["epoch"] == 2
+
+
+def test_decoder_checkpoint_torch_readable(tmp_path):
+    """export_decoder writes the reference's raw Sequential-index state_dict
+    (adain/train/train_human.py:228-232); torch.load + our own
+    load_style_net_params-style convert must round-trip bit-exactly."""
+    from tools.port_torch_weights import export_decoder
+
+    decoder = Decoder()
+    params = decoder.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8, 8, 512)))["params"]
+    path = str(tmp_path / "decoder_test.pth.tar")
+    torch.save(export_decoder(jax.tree_util.tree_map(np.asarray, params)), path)
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    ref_dec = _torch_decoder()
+    ref_dec.load_state_dict(sd, strict=False)  # pads/relus have no params
+    assert set(sd) == {f"{i}.{p}" for i in (1, 5, 8, 11, 14, 18, 21, 25, 28)
+                       for p in ("weight", "bias")}
+
+    back = convert_decoder(sd)
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(back)[0],
+                   key=lambda t: jax.tree_util.keystr(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+                   key=lambda t: jax.tree_util.keystr(t[0]))):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # --- VGG encoder / decoder oracle -------------------------------------------
 
 def _torch_vgg31():

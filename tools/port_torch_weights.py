@@ -1,4 +1,5 @@
-"""Convert reference torch checkpoints into this framework's Flax pytrees.
+"""Convert reference torch checkpoints into this framework's Flax pytrees
+(and back — the export direction keeps our checkpoints torch-readable).
 
 Covers every torch artifact the reference consumes or produces:
 
@@ -8,6 +9,13 @@ Covers every torch artifact the reference consumes or produces:
   dicts with DataParallel 'module.' prefixes, train_human.py:226-237);
 - ``vgg_normalised.pth`` -> VGGEncoder (Style_net.py:64-118, truncated @31);
 - AdaIN decoder state dicts -> Decoder (Style_net.py:32-62).
+
+Export half (``export_*``): exact inverses of the converters, producing
+``module.``-prefixed state dicts of torch tensors so reference-side tooling
+can ``torch.load`` and ``load_state_dict`` artifacts this framework writes
+(utils/checkpoint.py uses these for ``best_pt.pth`` / ``best.pth``; the AdaIN
+engine for ``decoder_<exp>.pth.tar``). Round trips are bit-exact — every
+mapping is a pure transpose.
 
 Layout rules: torch conv OIHW -> flax HWIO; torch ConvTranspose2d
 (in, out, kh, kw) -> our Deconv kernel (kh, kw, in, out); BatchNorm
@@ -143,9 +151,116 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
             out["args"] = vars(ckpt["args"])
         except TypeError:
             out["args"] = ckpt["args"]
-    # optimizer / lr_scheduler states are torch-specific; resume from them is
-    # not supported (the reference itself skips the teacher optimizer).
+    if ckpt.get("format") == "uda_poseestimation_tpu":
+        # our own torch-format checkpoint: the optax optimizer state rides
+        # along as a nested numpy state dict (utils/checkpoint.py)
+        if "stu_optimizer" in ckpt:
+            out["stu_optimizer"] = ckpt["stu_optimizer"]
+        if "lr_scheduler" in ckpt:
+            out["lr_scheduler"] = ckpt["lr_scheduler"]
+    # reference torch optimizer / lr_scheduler states are torch-specific;
+    # resume from them is not supported (the reference itself skips the
+    # teacher optimizer).
     return out
+
+
+# ---------------------------------------------------------------------------
+# Export direction: Flax pytrees -> torch state dicts (torch-readable ckpts)
+# ---------------------------------------------------------------------------
+
+def _t(arr):
+    """numpy/jax array -> contiguous (writable) torch tensor."""
+    import torch
+    return torch.from_numpy(np.array(np.asarray(arr), copy=True))
+
+
+def _conv_out(kernel):
+    return _t(np.asarray(kernel).transpose(3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _deconv_out(kernel):
+    return _t(np.asarray(kernel).transpose(2, 3, 0, 1))  # (kh,kw,in,out) -> (in,out,kh,kw)
+
+
+def export_resnet_backbone(params, stats) -> dict:
+    """(params, batch_stats) of our headless ResNet -> torchvision-style
+    state_dict entries (inverse of convert_resnet_backbone)."""
+    sd: dict = {}
+
+    def bn(src, dst_key):
+        sd[dst_key + ".weight"] = _t(src["scale"])
+        sd[dst_key + ".bias"] = _t(src["bias"])
+
+    def bn_stats(src, dst_key):
+        sd[dst_key + ".running_mean"] = _t(src["mean"])
+        sd[dst_key + ".running_var"] = _t(src["var"])
+
+    sd["conv1.weight"] = _conv_out(params["conv1"]["kernel"])
+    bn(params["bn1"], "bn1")
+    bn_stats(stats["bn1"], "bn1")
+    for name in sorted(k for k in params if k.startswith("layer")):
+        stage, block = name[5:].split("_")
+        dst = f"layer{stage}.{block}"
+        p, s = params[name], stats[name]
+        for conv_i in (1, 2, 3):
+            if f"conv{conv_i}" not in p:
+                continue
+            sd[f"{dst}.conv{conv_i}.weight"] = _conv_out(p[f"conv{conv_i}"]["kernel"])
+            bn(p[f"bn{conv_i}"], f"{dst}.bn{conv_i}")
+            bn_stats(s[f"bn{conv_i}"], f"{dst}.bn{conv_i}")
+        if "downsample_conv" in p:
+            sd[f"{dst}.downsample.0.weight"] = _conv_out(p["downsample_conv"]["kernel"])
+            bn(p["downsample_bn"], f"{dst}.downsample.1")
+            bn_stats(s["downsample_bn"], f"{dst}.downsample.1")
+    return sd
+
+
+def export_pose_resnet(variables, prefix: str = "module.") -> dict:
+    """{'params','batch_stats'} of our PoseResNet -> a reference-compatible
+    state_dict (DataParallel 'module.'-prefixed by default, matching what
+    train_human.py:226-237 writes). Inverse of convert_pose_resnet."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+    for k, v in export_resnet_backbone(params["backbone"],
+                                       stats.get("backbone", {})).items():
+        sd["backbone." + k] = v
+    up_p = params["upsampling"]
+    up_s = stats.get("upsampling", {})
+    for i, (conv_idx, bn_idx) in enumerate(((0, 1), (3, 4), (6, 7))):
+        sd[f"upsampling.{conv_idx}.weight"] = _deconv_out(up_p[f"deconv{i}"]["kernel"])
+        if "bias" in up_p[f"deconv{i}"]:
+            sd[f"upsampling.{conv_idx}.bias"] = _t(up_p[f"deconv{i}"]["bias"])
+        sd[f"upsampling.{bn_idx}.weight"] = _t(up_p[f"bn{i}"]["scale"])
+        sd[f"upsampling.{bn_idx}.bias"] = _t(up_p[f"bn{i}"]["bias"])
+        sd[f"upsampling.{bn_idx}.running_mean"] = _t(up_s[f"bn{i}"]["mean"])
+        sd[f"upsampling.{bn_idx}.running_var"] = _t(up_s[f"bn{i}"]["var"])
+    sd["head.weight"] = _conv_out(params["head"]["kernel"])
+    sd["head.bias"] = _t(params["head"]["bias"])
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def export_decoder(params) -> dict:
+    """Decoder params -> the reference's Sequential-index state_dict (what
+    adain/train/train_human.py:228-232 torch.saves). Inverse of
+    convert_decoder."""
+    sd: dict = {}
+    for idx, name in _DECODER_LAYER_MAP.items():
+        leaf = params[name]["Conv_0"] if "Conv_0" in params[name] else params[name]
+        sd[f"{idx}.weight"] = _conv_out(leaf["kernel"])
+        sd[f"{idx}.bias"] = _t(leaf["bias"])
+    return sd
+
+
+def export_vgg_encoder(params) -> dict:
+    """VGGEncoder params -> vgg_normalised-style state_dict (inverse of
+    convert_vgg_encoder)."""
+    sd: dict = {}
+    for idx, name in _VGG_LAYER_MAP.items():
+        leaf = params[name] if name == "conv0" else params[name]["Conv_0"]
+        sd[f"{idx}.weight"] = _conv_out(leaf["kernel"])
+        sd[f"{idx}.bias"] = _t(leaf["bias"])
+    return sd
 
 
 # ---------------------------------------------------------------------------

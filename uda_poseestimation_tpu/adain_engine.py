@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-import flax.serialization
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,10 +118,15 @@ def run_decoder_training(args, source_iter, target_iter, denormalize,
                               content_images[0], style_images[0], denormalize)
 
         if (i + 1) % args.save_model_interval == 0 or (i + 1) == args.max_iter:
+            # torch-readable, in the reference's exact on-disk format: a raw
+            # Sequential-index decoder state_dict (adain/train/
+            # train_human.py:228-232), so reference tooling can consume it
+            import torch
+
+            from tools.port_torch_weights import export_decoder
             save_name = os.path.join(save_model_dir, "decoder_" + exp_name + ".pth.tar")
-            with open(save_name, "wb") as f:
-                f.write(flax.serialization.msgpack_serialize(
-                    jax.tree_util.tree_map(np.asarray, decoder_params)))
+            torch.save(export_decoder(
+                jax.tree_util.tree_map(np.asarray, decoder_params)), save_name)
         i += 1
         if i >= args.max_iter:
             break

@@ -169,6 +169,7 @@ class CachedDataset:
         self.max_bytes = max_bytes
         self._cache = {}
         self._bytes = 0
+        self._cap_logged = False
         self._lock = threading.Lock()
 
     def __len__(self):
@@ -189,7 +190,22 @@ class CachedDataset:
                 if self._bytes < self.max_bytes and idx not in self._cache:
                     self._cache[idx] = packed
                     self._bytes += _nbytes(packed)
+                    if self._bytes >= self.max_bytes:
+                        self._log_cap_hit()
         return item
+
+    def _log_cap_hit(self):
+        """One visible line when the byte budget fills mid-dataset: without
+        it, a slightly-undersized --decode-cache shows up only as a silent
+        permanently-bimodal iteration time (cached vs decode-every-epoch)."""
+        if self._cap_logged:
+            return
+        self._cap_logged = True
+        print("CachedDataset: cache budget full after "
+              f"{len(self._cache)}/{len(self.dataset)} items "
+              f"({self._bytes / 1e9:.2f} GB); remaining items will be "
+              "decoded every epoch (raise --decode-cache to cache all)",
+              flush=True)
 
 
 class ForeverDataIterator:

@@ -1,15 +1,18 @@
-"""Checkpoint save/load with the reference's contract.
+"""Checkpoint save/load with the reference's contract — torch-readable.
 
 The reference saves ``{student, teacher, stu_optimizer, lr_scheduler, epoch,
 args}`` under ``best_pt.pth`` / ``best.pth`` when target-'all' PCK improves
 (train_human.py:226-237); resume restores everything except the teacher-EMA
-optimizer (:153-160). Here the same dict shape is serialized with flax
-msgpack (arrays are numpy-compatible pytrees); filenames keep the ``.pth``
-suffix so the CLI surface and log tooling stay unchanged.
+optimizer (:153-160). ``save_checkpoint`` writes the same dict via
+``torch.save`` with the student/teacher entries as ``module.``-prefixed torch
+state dicts (the DataParallel layout the reference writes and reads), so
+reference-side tooling can ``torch.load`` + ``load_state_dict`` our
+artifacts directly. Our own extras (optax optimizer state, as a nested
+numpy pytree) ride in the same pickle under their reference key names.
 
-``load_checkpoint`` also accepts reference *torch* checkpoints transparently
-(for --pretrain/--resume against upstream artifacts) by converting state
-dicts through tools/port_torch_weights when the file is a torch zipfile.
+``load_checkpoint`` accepts three formats transparently: checkpoints written
+here, reference torch checkpoints (for --pretrain/--resume against upstream
+artifacts), and this framework's legacy round-1/2 msgpack files.
 """
 
 from __future__ import annotations
@@ -21,13 +24,15 @@ import flax.serialization
 import jax
 import numpy as np
 
+_FORMAT_TAG = "uda_poseestimation_tpu"
+
 
 def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
 def _sanitize(obj):
-    """Deep-convert to msgpack-friendly types: tuples/namedtuples -> lists or
+    """Deep-convert to plain picklable types: tuples/namedtuples -> lists or
     state dicts, device arrays -> numpy, odd leaves -> str."""
     if isinstance(obj, dict):
         return {str(k): _sanitize(v) for k, v in obj.items()}
@@ -45,18 +50,34 @@ def _sanitize(obj):
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]):
-    """Serialize a checkpoint dict (pytrees + scalars + plain data)."""
+    """Serialize a checkpoint dict, torch-readable.
+
+    ``student``/``teacher`` entries holding ``{'params', 'batch_stats'}``
+    Flax variables are exported to ``module.``-prefixed torch state dicts
+    (bit-exact transposes; tools/port_torch_weights.py round-trips them);
+    everything else is sanitized to plain python/numpy and pickled by
+    ``torch.save`` in the reference's dict layout.
+    """
+    import torch
+
+    from tools.port_torch_weights import export_pose_resnet
+
     payload = dict(payload)
+    for key in ("student", "teacher"):
+        entry = payload.get(key)
+        if isinstance(entry, dict) and "params" in entry:
+            payload[key] = export_pose_resnet(_to_numpy_tree(entry))
     if "stu_optimizer" in payload and payload["stu_optimizer"] is not None:
-        payload["stu_optimizer"] = flax.serialization.to_state_dict(
-            payload["stu_optimizer"])
+        payload["stu_optimizer"] = _sanitize(flax.serialization.to_state_dict(
+            payload["stu_optimizer"]))
     if "args" in payload and payload["args"] is not None \
             and not isinstance(payload["args"], dict):
         payload["args"] = dict(vars(payload["args"]))
-    data = flax.serialization.msgpack_serialize(_sanitize(payload))
+    payload = {k: v if k in ("student", "teacher") else _sanitize(v)
+               for k, v in payload.items()}
+    payload["format"] = _FORMAT_TAG
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(data)
+    torch.save(payload, path)
 
 
 def _is_torch_file(path: str) -> bool:
@@ -67,7 +88,8 @@ def _is_torch_file(path: str) -> bool:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a checkpoint saved by save_checkpoint, or a reference torch ckpt."""
+    """Load a checkpoint saved by save_checkpoint, a reference torch ckpt,
+    or a legacy msgpack checkpoint from earlier rounds of this framework."""
     if _is_torch_file(path):
         from tools.port_torch_weights import load_reference_checkpoint
         return load_reference_checkpoint(path)
