@@ -93,6 +93,39 @@ def test_pretrain_epoch_with_style_and_device_aug():
     assert int(jax.device_get(state.step)) == 2
 
 
+def test_adapt_epoch_bundled_device_aug():
+    """run_adapt_epoch with --steps-per-dispatch > 1: the bundled loop
+    (host-stacked raw uint8 canvases, lead_axes=1 sharding, scanned steps,
+    stacked metric readback) drives the same engine surface, including a
+    trailing partial bundle (iters_per_epoch not divisible by the bundle)."""
+    from uda_poseestimation_tpu.engine import run_adapt_epoch
+    from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+
+    cfg = StepConfig(image_size=SIZE, heatmap_size=HM, sigma=1.0, k=1)
+    model = PoseResNet(backbone=resnet_lib.ResNet(
+        block=resnet_lib.BasicBlock, stage_sizes=[1, 1, 1]), num_keypoints=K)
+    mesh = make_mesh(8)
+    state = replicate(create_state(model, jax.random.PRNGKey(0), cfg,
+                                   batch_size=2), mesh)
+    pipe = DeviceAugPipeline(_cfg(use_rrc=True), _cfg(use_rrc=False),
+                             _cfg(use_rrc=False), k=1, mean=MEAN, std=STD,
+                             mesh=mesh)
+    bundler = AdaptStepBundler(model, cfg, view_builder=pipe.view_builder,
+                               mesh=mesh)
+    args = SimpleNamespace(iters_per_epoch=3, print_freq=10,
+                           image_size=SIZE, heatmap_size=HM,
+                           steps_per_dispatch=2)
+    np.random.seed(0)
+    state = run_adapt_epoch(state, None, None, mesh,
+                            _Forever(_src_item, 3), _Forever(_tgt_item, 4),
+                            epoch=0, lr=1e-4, args=args,
+                            base_rng=jax.random.PRNGKey(5),
+                            device_aug=pipe, bundler=bundler)
+    # 3 iterations ran: one bundle of 2 + a partial bundle of 1
+    assert int(jax.device_get(state.step)) == 3
+    assert set(bundler._jitted) == {2, 1}
+
+
 def test_animal_style_image_passthrough():
     """The animal mt datasets color_normalize teacher views on the host even
     under --device-aug (real_animal.py:260), so style_image must feed them

@@ -110,6 +110,91 @@ def test_adapt_step_full_fused():
     assert np.isfinite(float(metrics2["loss_all"]))
 
 
+def test_bundled_steps_match_sequential():
+    """AdaptStepBundler (--steps-per-dispatch): scanning n iterations in one
+    dispatch must be equivalent to n sequential make_adapt_step calls —
+    same state chaining (params, BN stats, EMA, optimizer), same metrics,
+    with identical per-iteration RNG keys and gates. Batches are stacked and
+    sharded with lead_axes=1 (the bundle transport).
+
+    SGD config: the scan body and the standalone step compile to
+    differently-fused f32 programs with ~1e-6 deviations; SGD keeps the
+    resulting state deviation linear in that noise, whereas Adam's
+    ~sign(g)*lr elementwise step amplifies it into whole +-lr flips on
+    near-zero-gradient elements (see tests/test_composed_parity.py)."""
+    import dataclasses
+
+    from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+
+    cfg = dataclasses.replace(CFG, use_sgd=True)
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    n = 3
+    rng = np.random.RandomState(7)
+    host_batches = [_fake_batch(rng, with_teacher=True) for _ in range(n)]
+    gates = [(True, 0.7, False, 0.0), (False, 0.0, True, 0.4),
+             (True, 0.2, True, 0.9)]
+    keys = [jax.random.PRNGKey(100 + j) for j in range(n)]
+    style = StyleNet()
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(2))["params"], mesh)
+
+    # sequential reference
+    step = make_adapt_step(model, cfg, style_model=style, mesh=mesh)
+    state = replicate(create_state(model, jax.random.PRNGKey(1), cfg,
+                                   batch_size=2), mesh)
+    seq_metrics = []
+    for j in range(n):
+        state, m, _ = step(state, style_params,
+                           shard_batch(host_batches[j], mesh),
+                           jnp.float32(1e-3), keys[j],
+                           jnp.bool_(gates[j][0]), jnp.float32(gates[j][1]),
+                           jnp.bool_(gates[j][2]), jnp.float32(gates[j][3]))
+        seq_metrics.append(jax.device_get(m))
+    seq_state = state
+
+    # bundled
+    bundler = AdaptStepBundler(model, cfg, style_model=style, mesh=mesh)
+    state = replicate(create_state(model, jax.random.PRNGKey(1), cfg,
+                                   batch_size=2), mesh)
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host_batches)
+    batch = shard_batch(stacked, mesh, lead_axes=1)
+    g = np.asarray(gates, np.float64)
+    state, metrics, y_last = bundler(
+        state, style_params, batch, jnp.float32(1e-3), jnp.stack(keys),
+        jnp.asarray(g[:, 0].astype(bool)), jnp.asarray(g[:, 1], jnp.float32),
+        jnp.asarray(g[:, 2].astype(bool)), jnp.asarray(g[:, 3], jnp.float32))
+    metrics = jax.device_get(metrics)
+
+    # scan body vs standalone step compile to differently-fused f32 programs;
+    # per-step deviations are ~1e-6 and compound over the chained steps —
+    # tolerances sit well above that noise, far below any logic error
+    for j in range(n):
+        for name in ("loss_all", "loss_s", "loss_c", "acc_s", "acc_cnt"):
+            np.testing.assert_allclose(np.asarray(metrics[name])[j],
+                                       seq_metrics[j][name], rtol=5e-4,
+                                       atol=1e-5, err_msg=f"{name}[{j}]")
+    for tree_a, tree_b in ((state.student_params, seq_state.student_params),
+                           (state.teacher_params, seq_state.teacher_params),
+                           (state.student_stats, seq_state.student_stats)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+    assert int(state.step) == n
+    assert y_last.shape[0] == B
+    # partial trailing bundle: a different size compiles its own scan
+    tail = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host_batches[:2])
+    state, metrics2, _ = bundler(
+        state, style_params, shard_batch(tail, mesh, lead_axes=1),
+        jnp.float32(1e-3), jnp.stack(keys[:2]),
+        jnp.asarray(g[:2, 0].astype(bool)), jnp.asarray(g[:2, 1], jnp.float32),
+        jnp.asarray(g[:2, 2].astype(bool)), jnp.asarray(g[:2, 3], jnp.float32))
+    assert int(state.step) == n + 2
+    assert np.isfinite(np.asarray(jax.device_get(metrics2)["loss_all"])).all()
+
+
 def test_eval_step():
     mesh = make_mesh(8)
     model = pose_resnet50(num_keypoints=K)

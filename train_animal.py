@@ -198,6 +198,14 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         device_aug = None
         adapt_step = make_adapt_step(model, cfg, style_model=style_model, mesh=mesh)
 
+    bundler = None
+    if getattr(args, "steps_per_dispatch", 1) > 1:
+        from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+        bundler = AdaptStepBundler(
+            model, cfg, style_model=style_model,
+            view_builder=device_aug.view_builder if device_aug else None,
+            mesh=mesh)
+
     start_epoch = 0
     if args.resume:
         checkpoint = load_checkpoint(args.resume)
@@ -285,7 +293,7 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
                 style_enabled=style_model is not None,
-                device_aug=device_aug)
+                device_aug=device_aug, bundler=bundler)
 
         if epoch < args.pretrain_epoch:
             eval_params, eval_stats = state.student_params, state.student_stats
@@ -456,6 +464,9 @@ def build_parser():
                              "items under --device-aug, plus frame-level "
                              "caches inside the TigDog/animal-pose/synthetic "
                              "datasets (any mode); 0 disables")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="adaptation iterations fused per XLA dispatch "
+                             "(lax.scan over pre-staged batches); 1 disables")
     return parser
 
 

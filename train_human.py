@@ -236,6 +236,17 @@ def main(args: argparse.Namespace):
         device_aug = None
         adapt_step = make_adapt_step(model, cfg, style_model=style_model, mesh=mesh)
 
+    bundler = None
+    if args.steps_per_dispatch > 1:
+        from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+        bundler = AdaptStepBundler(
+            model, cfg, style_model=style_model,
+            view_builder=device_aug.view_builder if device_aug else None,
+            mesh=mesh)
+        if args.debug:
+            warnings.warn("--steps-per-dispatch: --debug prediction images "
+                          "are skipped during bundled adaptation epochs")
+
     start_epoch = 0
     if args.resume:
         checkpoint = load_checkpoint(args.resume)
@@ -317,7 +328,7 @@ def main(args: argparse.Namespace):
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
                 style_enabled=style_model is not None,
-                device_aug=device_aug)
+                device_aug=device_aug, bundler=bundler)
 
         if epoch < args.pretrain_epoch:
             eval_params, eval_stats = state.student_params, state.student_stats
@@ -462,6 +473,11 @@ def build_parser():
                         help="GB of decoded-canvas cache for the train "
                              "datasets (only with --device-aug, whose host "
                              "transforms are deterministic); 0 disables")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="adaptation iterations fused per XLA dispatch "
+                             "(lax.scan over pre-staged batches) — amortizes "
+                             "dispatch/readback on high-latency-attach hosts; "
+                             "1 disables")
     return parser
 
 

@@ -156,11 +156,21 @@ class DeviceAugPipeline(_DeviceAugBase):
                 "image_t_stu": x_t_stu, "images_t_tea": x_t_teas,
                 "aug_param_stu": aug_stu, "aug_params_tea": aug_teas}
 
-    def raw_adapt_batch(self, src_tuple, tgt_tuple):
-        canvas_s, kp_s, vis_s = self.raw_source(src_tuple)
-        canvas_t, kp_t, vis_t = self.raw_target(tgt_tuple)
-        return {"canvas_s": canvas_s, "kp_s": kp_s, "vis_s": vis_s,
-                "canvas_t": canvas_t, "kp_t": kp_t, "vis_t": vis_t}
+    def raw_adapt_batch(self, src_tuple, tgt_tuple, device: bool = True):
+        """Raw-canvas adapt batch; ``device=False`` returns host numpy (the
+        --steps-per-dispatch path stacks n of these and ships them in ONE
+        sharded device_put)."""
+        x, _t, weight, meta = src_tuple
+        meta_t = tgt_tuple[3]
+        batch = {
+            "canvas_s": self._pack_canvas(x),
+            "kp_s": np.asarray(meta["keypoint2d"], np.float32),
+            "vis_s": np.asarray(weight, np.float32)[..., 0],
+            "canvas_t": self._pack_canvas(tgt_tuple[0]),
+            "kp_t": np.asarray(meta_t["keypoint2d_ori"], np.float32),
+            "vis_t": np.asarray(meta_t["target_weight_ori"], np.float32)[..., 0],
+        }
+        return self._put_tree(batch) if device else batch
 
     def raw_source(self, src_tuple):
         x, _t, weight, meta = src_tuple
@@ -270,7 +280,7 @@ class AnimalDeviceAugPipeline(_DeviceAugBase):
         img = np.asarray(tgt_tuple[4][0], np.float32)
         return self._put([img])[0]
 
-    def raw_adapt_batch(self, src_tuple, tgt_tuple):
+    def raw_adapt_batch(self, src_tuple, tgt_tuple, device: bool = True):
         meta = tgt_tuple[3]
         canvas_t = np.asarray(meta["canvas"])
         if canvas_t.dtype != np.uint8:  # keep legacy float canvases working
@@ -297,7 +307,7 @@ class AnimalDeviceAugPipeline(_DeviceAugBase):
                 "target_s": np.asarray(label_s, np.float32),
                 "weight_s": np.asarray(weight_s, np.float32),
             })
-        return self._put_tree(batch)
+        return self._put_tree(batch) if device else batch
 
 
 class StyleGate:
@@ -406,8 +416,16 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
 
 def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_iter,
                     epoch, lr, args, visualize=None, style_enabled=False,
-                    base_rng=None, device_aug: Optional[DeviceAugPipeline] = None):
-    """Mean-teacher adaptation epoch (train_human.py:305-458)."""
+                    base_rng=None, device_aug: Optional[DeviceAugPipeline] = None,
+                    bundler=None):
+    """Mean-teacher adaptation epoch (train_human.py:305-458).
+
+    With ``bundler`` (an AdaptStepBundler) and ``args.steps_per_dispatch > 1``
+    the epoch runs n iterations per XLA dispatch: batches for the bundle are
+    stacked on the host, shipped in one sharded device_put, and scanned on
+    device; per-iteration metrics come back stacked, keeping meter/log
+    behavior identical. Host RNG draw order is preserved (one gate/alpha
+    draw per iteration, in reference order)."""
     batch_time = AverageMeter("Time", ":4.2f")
     data_time = AverageMeter("Data", ":3.1f")
     losses_all = AverageMeter("Loss (all)", ":.4e")
@@ -425,6 +443,14 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
                     getattr(args, "t2s_alpha", (0.0, 1.0)))
     if base_rng is None:
         base_rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+    n_bundle = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
+    if n_bundle > 1 and bundler is not None:
+        return _run_adapt_epoch_bundled(
+            state, style_params, bundler, mesh, source_iter, target_iter,
+            epoch, lr, args, s2t, t2s, base_rng, device_aug, n_bundle,
+            [batch_time, data_time, losses_all, losses_s, losses_c, acc_s],
+            progress)
 
     end = time.time()
 
@@ -477,6 +503,82 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
         if pending is not None:
             flush(pending)
         pending = (i, len(src[0]), metrics, y_s, src)
+    if pending is not None:
+        flush(pending)
+    return state
+
+
+def _stack_host_leaves(*xs):
+    """Stack one leaf across a bundle. uint8 canvases stay uint8 only when
+    EVERY sub-batch packed to uint8; a mixed bundle decodes the uint8 ones
+    back to the exact f32 canvas (u8/255) first — dtype semantics, not just
+    promotion, differ between the two transports."""
+    if all(x.dtype == np.uint8 for x in xs):
+        return np.stack(xs)
+    return np.stack([x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+                     for x in xs])
+
+
+def _run_adapt_epoch_bundled(state, style_params, bundler, mesh, source_iter,
+                             target_iter, epoch, lr, args, s2t, t2s, base_rng,
+                             device_aug, n_bundle, meters, progress):
+    """n-iterations-per-dispatch adaptation epoch (see run_adapt_epoch)."""
+    import jax.numpy as jnp
+
+    (batch_time, data_time, losses_all, losses_s, losses_c, acc_s) = meters
+    batch_size = None
+    end = time.time()
+    pending = None
+
+    def flush(item):
+        nonlocal end
+        base_i, n_sub, n_img, metrics = item
+        m = jax.device_get(metrics)
+        dt = (time.time() - end) / n_sub
+        for j in range(n_sub):
+            acc_s.update(float(m["acc_s"][j]), int(m["acc_cnt"][j]))
+            losses_all.update(float(m["loss_all"][j]), n_img)
+            losses_s.update(float(m["loss_s"][j]), n_img)
+            losses_c.update(float(m["loss_c"][j]), n_img)
+            batch_time.update(dt)
+            if (base_i + j) % args.print_freq == 0:
+                progress.display(base_i + j)
+        end = time.time()
+
+    i = 0
+    while i < args.iters_per_epoch:
+        n_sub = min(n_bundle, args.iters_per_epoch - i)
+        host_batches, gates = [], []
+        for j in range(n_sub):
+            src = next(source_iter)
+            tgt = next(target_iter)
+            if device_aug is not None:
+                host_batches.append(
+                    device_aug.raw_adapt_batch(src, tgt, device=False))
+            else:
+                host_batches.append(make_adapt_batch(src, tgt))
+            do_s2t, alpha_s2t = s2t.draw()
+            do_t2s, alpha_t2s = t2s.draw()
+            gates.append((do_s2t, alpha_s2t, do_t2s, alpha_t2s))
+        if batch_size is None:
+            batch_size = len(src[0])
+        stacked = jax.tree_util.tree_map(_stack_host_leaves, *host_batches)
+        batch = shard_batch(stacked, mesh, lead_axes=1) if mesh is not None \
+            else jax.tree_util.tree_map(jnp.asarray, stacked)
+        rngs = jnp.stack([
+            jax.random.fold_in(base_rng, epoch * args.iters_per_epoch + i + j)
+            for j in range(n_sub)])
+        data_time.update(time.time() - end)
+
+        g = np.asarray(gates, np.float64)  # (n, 4)
+        state, metrics, _y_last = bundler(
+            state, style_params, batch, jnp.float32(lr), rngs,
+            jnp.asarray(g[:, 0].astype(bool)), jnp.asarray(g[:, 1], jnp.float32),
+            jnp.asarray(g[:, 2].astype(bool)), jnp.asarray(g[:, 3], jnp.float32))
+        if pending is not None:
+            flush(pending)
+        pending = (i, n_sub, batch_size, metrics)
+        i += n_sub
     if pending is not None:
         flush(pending)
     return state

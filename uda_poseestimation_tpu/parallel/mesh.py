@@ -40,18 +40,22 @@ STACKED_VIEW_KEYS = ("images_t_tea", "aug_params_tea", "targets_tea", "weights_t
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
-                stacked_keys=STACKED_VIEW_KEYS):
+                stacked_keys=STACKED_VIEW_KEYS, lead_axes: int = 0):
     """device_put a pytree of host arrays with the batch axis sharded.
 
     Dict keys in ``stacked_keys`` hold per-view stacks shaped (k, B, ...) —
     mirroring the reference's k teacher views — and are sharded on axis 1.
+    ``lead_axes`` shifts the batch axis right by that many leading axes
+    (the --steps-per-dispatch bundle stacks n iterations in front).
     """
     def put(key_path, x):
         is_stacked = any(getattr(p, "key", None) in stacked_keys for p in key_path)
-        if is_stacked and np.ndim(x) >= 2:
-            spec = P(None, axis_name, *([None] * (np.ndim(x) - 2)))
+        bax = lead_axes + (1 if is_stacked and np.ndim(x) >= lead_axes + 2 else 0)
+        if np.ndim(x) <= bax:
+            spec = P()
         else:
-            spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+            spec = P(*([None] * bax), axis_name,
+                     *([None] * (np.ndim(x) - bax - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, batch)

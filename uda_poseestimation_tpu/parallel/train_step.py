@@ -46,6 +46,7 @@ from typing import Any, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.ema import ema_update
@@ -99,6 +100,11 @@ class StepConfig:
     gather_impl: str = "auto"
     # Run the Pallas kernel in interpret mode (CPU-mesh testing only).
     pallas_interpret: bool = False
+    # True -> the adapt step also returns its intermediate tensors under
+    # metrics["aux"] (styled images, reconstructions, mask, ...) so tests can
+    # compare the COMPOSITION against the reference trainer's torch oracle
+    # (tests/test_composed_parity.py). Trace-time flag; no cost when False.
+    aux_outputs: bool = False
     # False -> the Pallas occlusion gather uses ONE bf16 dot instead of the
     # hi/lo split (half the MXU FLOPs): it gathers bf16(image) values exactly,
     # which is bit-equivalent end-to-end when the student/teacher models cast
@@ -396,6 +402,14 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
     one dispatch per training iteration end to end. Pass ``mesh`` to run the
     Pallas occlusion gather under shard_map on multi-chip meshes.
     """
+    return jax.jit(_adapt_step_fn(model, cfg, style_model, view_builder, mesh),
+                   donate_argnums=(0,))
+
+
+def _adapt_step_fn(model, cfg: StepConfig, style_model: Optional[StyleNet] = None,
+                   view_builder=None, mesh=None):
+    """The raw (unjitted) adapt step — shared by make_adapt_step and
+    AdaptStepBundler."""
     tx = make_tx(cfg.use_sgd)
 
     def step_fn(state: UDAState, style_params, batch, lr, rng,
@@ -515,10 +529,11 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
             loss_s = joints_mse_loss(y_s, label_s, weight_s[..., 0])
             loss_c = cons_loss(y_t_stu_recon, y_t_tea_rect, tea_mask=tea_mask)
             loss_all = loss_s + cfg.lambda_c * loss_c
-            return loss_all, (y_s, loss_s, loss_c, mut2["batch_stats"])
+            return loss_all, (y_s, loss_s, loss_c, y_t_stu_recon,
+                              mut2["batch_stats"])
 
-        (loss_all, (y_s, loss_s, loss_c, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.student_params)
+        (loss_all, (y_s, loss_s, loss_c, y_t_stu_recon, new_stats)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.student_params)
         direction, new_opt = tx.update(grads, state.opt_state, state.student_params)
         new_params = _apply_updates(state.student_params, direction, lr,
                                     _finetune_lr_scale(state.student_params, cfg))
@@ -527,6 +542,17 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
         _, acc_avg, acc_cnt, _ = keypoint_pck_accuracy(y_s, label_s)
         metrics = {"loss_all": loss_all, "loss_s": loss_s, "loss_c": loss_c,
                    "acc_s": acc_avg, "acc_cnt": acc_cnt}
+        if cfg.aux_outputs:
+            # every composition-sensitive intermediate, for golden comparison
+            # against the reference trainer oracle (train_human.py:326-440)
+            metrics["aux"] = {
+                "x_s_styled": x_s, "x_t_teas_styled": x_t_teas,
+                "x_t_stu_final": x_t_stu,
+                "y_t_tea_recon": y_t_tea_recon, "y_t_tea_rect": y_t_tea_rect,
+                "activates": activates, "mask_thresh": mask_thresh,
+                "tea_mask": tea_mask, "y_t_stu_recon": y_t_stu_recon,
+                "grads": grads,
+            }
         new_state = state.replace(
             step=state.step + 1,
             student_params=new_params, student_stats=new_stats,
@@ -534,7 +560,62 @@ def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = No
             opt_state=new_opt)
         return new_state, metrics, y_s
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+class AdaptStepBundler:
+    """--steps-per-dispatch: ``lax.scan`` n adaptation iterations per XLA
+    dispatch.
+
+    On a high-latency-attach host (this testbed: a tunneled TPU with
+    ~2.5-3 ms dispatch overhead plus host round trips per step, PERF.md) one
+    dispatch per iteration leaves the device idle between steps; scanning n
+    pre-staged iterations amortizes dispatch/readback and lets H2D of bundle
+    i+1 overlap n device steps — the same overlap the reference gets from
+    DataLoader workers (train_human.py:90-105).
+
+    Semantics are identical to n sequential ``make_adapt_step`` calls: the
+    host still draws the reference's one-gate/alpha-per-iteration RNG
+    sequence and passes them as (n,) arrays; state (params, BN stats, EMA,
+    optimizer) chains through the scan carry; per-iteration metrics come
+    back stacked. Jitted bundles are cached per bundle size (a trailing
+    partial group compiles its own size once).
+    """
+
+    def __init__(self, model, cfg: StepConfig,
+                 style_model: Optional[StyleNet] = None, view_builder=None,
+                 mesh=None):
+        self._step_fn = _adapt_step_fn(model, cfg, style_model, view_builder,
+                                       mesh)
+        self._jitted = {}
+
+    def get(self, n_steps: int):
+        if n_steps not in self._jitted:
+            step_fn = self._step_fn
+
+            def bundle_fn(state, style_params, batches, lr, rngs,
+                          do_s2t, alpha_s2t, do_t2s, alpha_t2s):
+                def body(st, xs):
+                    b, rng, ds, a_s, dt, a_t = xs
+                    st, metrics, y_s = step_fn(st, style_params, b, lr, rng,
+                                               ds, a_s, dt, a_t)
+                    return st, (metrics, y_s)
+
+                state, (metrics, y_all) = jax.lax.scan(
+                    body, state,
+                    (batches, rngs, do_s2t, alpha_s2t, do_t2s, alpha_t2s),
+                    length=n_steps)
+                return state, metrics, y_all[-1]
+
+            self._jitted[n_steps] = jax.jit(bundle_fn, donate_argnums=(0,))
+        return self._jitted[n_steps]
+
+    def __call__(self, state, style_params, batches, lr, rngs,
+                 do_s2t, alpha_s2t, do_t2s, alpha_t2s):
+        n = int(np.asarray(do_s2t).shape[0]) if hasattr(do_s2t, "shape") \
+            else len(do_s2t)
+        return self.get(n)(state, style_params, batches, lr, rngs,
+                           do_s2t, alpha_s2t, do_t2s, alpha_t2s)
 
 
 def make_eval_step(model):
