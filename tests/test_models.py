@@ -31,6 +31,112 @@ def test_pose_resnet_shapes_and_state():
     assert any(leaves) and not all(leaves)
 
 
+def test_stem_s2d_exact():
+    """Space-to-depth stem == direct 7x7/s2 conv, same parameter (resnet.py
+    StemConv): exact up to f32 summation order, fwd and wgrad/dgrad."""
+    from uda_poseestimation_tpu.models.resnet import StemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    s2d = StemConv(features=16, s2d=True)
+    direct = StemConv(features=16, s2d=False)
+    params = s2d.init(jax.random.PRNGKey(1), x)
+
+    y1 = s2d.apply(params, x)
+    y2 = direct.apply(params, x)
+    assert y1.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+
+    def loss(p, mod):
+        return (mod.apply(p, x) ** 2).sum()
+
+    g1 = jax.grad(loss)(params, s2d)
+    g2 = jax.grad(loss)(params, direct)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2,
+                                   rtol=1e-5)
+
+    # odd spatial sizes fall back to the direct conv
+    x_odd = jnp.asarray(rng.randn(1, 31, 31, 3).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(s2d.apply(params, x_odd)),
+                               np.asarray(direct.apply(params, x_odd)), atol=2e-5)
+
+
+def test_upconv_subpixel_exact():
+    """_UpConvBlock == nearest-2x-upsample -> reflect-pad -> conv3x3 with the
+    SAME parameters (the subpixel identity, ops/subpixel.py)."""
+    from uda_poseestimation_tpu.models.style_net import (
+        _ConvBlock,
+        _UpConvBlock,
+        _upsample_nearest2x,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 9, 13, 8).astype(np.float32))
+    fused = _UpConvBlock(12)
+    refblk = _ConvBlock(12)
+    params = fused.init(jax.random.PRNGKey(2), x)
+
+    y1 = fused.apply(params, x)
+    y2 = refblk.apply(params, _upsample_nearest2x(x))
+    assert y1.shape == (2, 18, 26, 12)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+
+    def loss(p, run):
+        return (run(p) ** 2).sum()
+
+    g1 = jax.grad(loss)(params, lambda p: fused.apply(p, x))
+    g2 = jax.grad(loss)(params, lambda p: refblk.apply(p, _upsample_nearest2x(x)))
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=1e-5)
+
+
+def test_deconv_both_paths_match_torch_convtranspose(monkeypatch):
+    """Deconv(k=4): BOTH evaluations — the default dilated conv and the
+    UDA_PHASE_DECONV subpixel phase form — match torch
+    ConvTranspose2d(4, s=2, p=1) under the same parameters."""
+    from uda_poseestimation_tpu.models import pose_resnet as pr
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 5, 7, 6).astype(np.float32)
+    deconv = pr.Deconv(4, kernel_size=4, use_bias=True)
+    params = deconv.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    kernel = np.asarray(params["params"]["kernel"])  # (4,4,in,out)
+    bias = np.asarray(params["params"]["bias"])
+
+    ref = torch.nn.ConvTranspose2d(6, 4, 4, stride=2, padding=1, bias=True)
+    with torch.no_grad():
+        ref.weight.copy_(torch.tensor(kernel.transpose(2, 3, 0, 1)))
+        ref.bias.copy_(torch.tensor(bias))
+    y_ref = ref(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy()
+
+    for phase in (False, True):
+        monkeypatch.setattr(pr, "_PHASE_DECONV", phase)
+        y = deconv.apply(params, jnp.asarray(x))
+        assert y.shape == (2, 10, 14, 4)
+        np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), y_ref,
+                                   atol=1e-5, err_msg=f"phase={phase}")
+
+
+def test_decoder_subpixel_flag_equivalent(monkeypatch):
+    """The UDA_SUBPIXEL_DECODER Decoder shares one parameter tree with the
+    default path and computes the same function."""
+    from uda_poseestimation_tpu.models import style_net as sn
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 8, 512).astype(np.float32) * 0.1)
+    monkeypatch.setattr(sn, "_SUBPIXEL_DECODER", False)
+    dec = sn.Decoder()
+    params = dec.init(jax.random.PRNGKey(4), x)
+    y_base = dec.apply(params, x)
+    monkeypatch.setattr(sn, "_SUBPIXEL_DECODER", True)
+    y_sub = sn.Decoder().apply(params, x)
+    assert y_sub.shape == y_base.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_base),
+                               atol=2e-5)
+
+
 def test_style_net_shapes():
     model = StyleNet()
     content = jnp.zeros((1, 64, 64, 3), jnp.float32)

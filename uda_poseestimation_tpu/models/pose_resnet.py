@@ -17,6 +17,7 @@ contract used by losses/warps/PCK.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -26,9 +27,26 @@ from jax import lax
 
 from . import resnet as resnet_lib
 
+# perf-debug kill switch for A/B measurement (PERF.md)
+_PHASE_DECONV = os.environ.get("UDA_PHASE_DECONV", "0") == "1"
+
 
 class Deconv(nn.Module):
-    """ConvTranspose2d(k, s=2) with torch-exact geometry, NHWC."""
+    """ConvTranspose2d(k, s=2) with torch-exact geometry, NHWC.
+
+    Two equivalent evaluations of the k=4/p=1 case (bit-equal taps, same
+    parameters, both torch-parity-tested):
+
+    - default: conv over the 2x-dilated input (lhs_dilation) — XLA's TPU
+      conv emitter handles the dilation algebraically and this MEASURES
+      FASTER end to end (248.4 vs 238.5 img/s on the v5e bench, PERF.md
+      round 3);
+    - UDA_PHASE_DECONV=1: subpixel phase form (ops/subpixel.py) — one 2x2
+      conv with 4x output channels + interleave, the tap-minimal
+      formulation; loses to the emitter because the phase interleave costs
+      an extra HBM round trip over the full-size output. Kept as a measured
+      alternative / A-B probe.
+    """
 
     features: int
     kernel_size: int = 4
@@ -53,6 +71,11 @@ class Deconv(nn.Module):
             (k, k, in_features, self.features),
             jnp.float32,
         )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        if k == 4 and _PHASE_DECONV:
+            from ..ops.subpixel import deconv4x4_s2
+            return deconv4x4_s2(x, kernel, bias, dtype=self.dtype)
         # torch convT(k,s=2,p) == conv(dilate(x,2), flip(W), pad=k-1-p), plus
         # output_padding extra rows/cols at the end (only k=3 uses op=1).
         p = k - 1 - pad
@@ -65,8 +88,7 @@ class Deconv(nn.Module):
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 

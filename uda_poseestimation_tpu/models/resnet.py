@@ -17,13 +17,71 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 ModuleDef = Any
+
+# perf-debug kill switch for A/B measurement (PERF.md); the default is the
+# measured-faster path
+_S2D_DEFAULT = os.environ.get("UDA_STEM_S2D", "0") == "1"
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, with an optional space-to-depth form.
+
+    A 3-channel 7x7 conv is the worst MXU shape in the network (the
+    contraction dim is 3 vs the 128-wide systolic array). The standard TPU
+    ResNet rewrite (MLPerf-style, ``s2d=True`` / UDA_STEM_S2D=1):
+    space-to-depth the input by 2 ((B,H,W,3) -> (B,H/2,W/2,12)) and apply an
+    equivalent 4x4/stride-1 conv whose kernel is a zero-padded rearrangement
+    of the SAME 7x7 parameter — an exact reformulation (every original tap
+    maps to exactly one rearranged tap; output identical up to f32 summation
+    order, tested in tests/test_models.py). MEASURED: on the v5e bench this
+    is ~1% SLOWER than the direct conv (248.9 vs 250.9 img/s, PERF.md
+    round 3 — current XLA already handles the C=3 stem well, and s2d carries
+    +30% stem FLOPs), so the direct form is the default and s2d is kept as a
+    measured alternative. The parameter keeps the (7,7,C,F) layout/name of
+    ``nn.Conv(name='conv1')`` so torch ports and old checkpoints load
+    unchanged.
+
+    Derivation: output row i reads input rows 2i+kh-3, kh in [0,7). Writing
+    kh-3 = 2u+v (v in {0,1}, u in [-2,1]) gives s2d row i+u at sub-row v, so
+    the rearranged kernel is (4,4,2*2*C,F) applied with padding ((2,1),(2,1));
+    the s2d channel layout is (v, v_w, c).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c, self.features), jnp.float32)
+        b, h, w = x.shape[:3]
+        if not (self.s2d and h % 2 == 0 and w % 2 == 0):
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # kernel index kh+1 = 2*iu + v with iu = (kh+1)//2: pad one leading
+        # zero row/col, then split (8,8) -> (4,2,4,2)
+        w_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = w_pad.reshape(4, 2, 4, 2, c, self.features)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return lax.conv_general_dilated(
+            x2.astype(self.dtype), w2.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class BasicBlock(nn.Module):
@@ -95,6 +153,8 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     dtype: Any = jnp.float32
+    # evaluate the stem space-to-depth (exact; see StemConv)
+    s2d_stem: bool = _S2D_DEFAULT
 
     @property
     def out_features(self) -> int:
@@ -106,8 +166,8 @@ class ResNet(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
-        x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                 use_bias=False, name="conv1")(x)
+        x = StemConv(features=64, dtype=self.dtype, s2d=self.s2d_stem,
+                     name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
