@@ -180,6 +180,131 @@ def test_pipeline_learns():
         (pck_tgt_before, pck_tgt_teacher)
 
 
+def test_pipeline_learns_with_style_transfer():
+    """The CANONICAL loop — style transfer firing at p=0.5 — still learns.
+
+    The paper's method ships with AdaIN s2t/t2s active (train_human.py:
+    347-356 with --s2t-freq/--t2s-freq 0.5); test_pipeline_learns runs with
+    the gates off, so the ``lax.switch`` style cases only ever executed in
+    one-step tests. Here a real StyleNet (random frozen encoder + decoder
+    briefly pre-trained on the blob images via make_decoder_step) is active
+    during adaptation with per-iteration host gate draws at p=0.5 — all four
+    switch cases must execute inside a run whose target PCK still rises for
+    student AND teacher.
+    """
+    from uda_poseestimation_tpu.adain_engine import make_decoder_step
+    from uda_poseestimation_tpu.models import StyleNet
+
+    cfg = StepConfig(image_size=SIZE, heatmap_size=HM, sigma=SIGMA, k=1,
+                     teacher_alpha=0.9)
+    model = make_model()
+    state = create_state(model, jax.random.PRNGKey(0), cfg, batch_size=2)
+    pretrain_step = make_pretrain_step(model, cfg)
+    eval_step = make_eval_step(model)
+
+    rng = np.random.RandomState(1)
+    lr = jnp.float32(5e-3)
+
+    def pck(params, stats, imgs, tgt, w):
+        _, _, acc = eval_step(params, stats, jnp.asarray(imgs),
+                              jnp.asarray(tgt), jnp.asarray(w))
+        acc = np.asarray(acc)
+        return float(acc[acc >= 0].mean())
+
+    # supervised pretrain (as in test_pipeline_learns)
+    src_imgs, src_kp, src_tgt, src_w = make_blob_batch(rng)
+    batch = {"image_s": jnp.asarray(src_imgs), "target_s": jnp.asarray(src_tgt),
+             "weight_s": jnp.asarray(src_w)}
+    for i in range(200):
+        state, metrics, _ = pretrain_step(state, None, batch, lr,
+                                          jnp.bool_(False), jnp.float32(0.0))
+        if i >= 20 and i % 10 == 0 and pck(
+                state.student_params, state.student_stats,
+                src_imgs, src_tgt, src_w) > 0.95:
+            break
+
+    tgt_imgs, _, tgt_tgt, tgt_w = make_blob_batch(rng, shift=True, kp=src_kp)
+    pck_tgt_before = pck(state.student_params, state.student_stats,
+                         tgt_imgs, tgt_tgt, tgt_w)
+    state = state.replace(
+        teacher_params=jax.tree_util.tree_map(jnp.copy, state.student_params),
+        teacher_stats=jax.tree_util.tree_map(jnp.copy, state.student_stats))
+
+    # StyleNet: frozen random encoder; decoder pre-trained for a few dozen
+    # iterations on the blob images (adain_engine.make_decoder_step — the
+    # real decoder-pretraining path) so stylization roughly preserves content
+    style = StyleNet(style_loss_kind="meanstd")
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    sv = jax.jit(lambda r: style.init(r, dummy, dummy))(jax.random.PRNGKey(7))
+    enc, dec = sv["params"]["encoder"], sv["params"]["decoder"]
+    dstep, dtx = make_decoder_step(content_weight=1.0, style_weight=0.05,
+                                   lr=1e-3)
+    dopt = dtx.init(dec)
+    dl0 = dl = None
+    for j in range(40):
+        c, s = (src_imgs, tgt_imgs) if j % 2 == 0 else (tgt_imgs, src_imgs)
+        dec, dopt, dloss, _, _, _ = dstep(dec, dopt, enc, jnp.asarray(c),
+                                          jnp.asarray(s))
+        dl0 = dl0 if dl0 is not None else float(dloss)
+        dl = float(dloss)
+    assert dl < dl0  # the decoder actually trained
+    style_params = {"encoder": enc, "decoder": dec}
+
+    adapt_step = make_adapt_step(model, cfg, style_model=style)
+    aug_tea = identity_aug()
+    cases_seen = set()
+    for i in range(100):
+        aug_stu = identity_aug()
+        aug_stu[:, 0] = rng.uniform(-20, 20, B)
+        x_t_stu = forward_warp_images(
+            jnp.transpose(jnp.asarray(tgt_imgs), (0, 3, 1, 2)),
+            jnp.asarray(aug_stu), cfg.ratio)
+        x_t_stu = jnp.transpose(x_t_stu, (0, 2, 3, 1))
+        abatch = {
+            "image_s": jnp.asarray(src_imgs),
+            "target_s": jnp.asarray(src_tgt),
+            "weight_s": jnp.asarray(src_w),
+            "image_t_stu": x_t_stu,
+            "images_t_tea": jnp.asarray(tgt_imgs)[None],
+            "aug_param_stu": jnp.asarray(aug_stu),
+            "aug_params_tea": jnp.asarray(aug_tea)[None],
+        }
+        # canonical host RNG structure: one gate draw + one alpha per
+        # direction per iteration at freq 0.5 (train_human.py:348-355)
+        do_s2t = 0.5 > rng.rand()
+        alpha_s2t = float(rng.uniform(0, 1)) if do_s2t else 0.0
+        do_t2s = 0.5 > rng.rand()
+        alpha_t2s = float(rng.uniform(0, 1)) if do_t2s else 0.0
+        cases_seen.add((do_s2t, do_t2s))
+        state, metrics, _ = adapt_step(
+            state, style_params, abatch, lr, jax.random.PRNGKey(2000 + i),
+            jnp.bool_(do_s2t), jnp.float32(alpha_s2t),
+            jnp.bool_(do_t2s), jnp.float32(alpha_t2s))
+        if i >= 30 and i % 10 == 0:
+            p_stu = pck(state.student_params, state.student_stats,
+                        tgt_imgs, tgt_tgt, tgt_w)
+            p_tea = pck(state.teacher_params, state.teacher_stats,
+                        tgt_imgs, tgt_tgt, tgt_w)
+            if len(cases_seen) == 4 and p_stu > 0.95 and p_tea > 0.95:
+                break
+
+    # all four lax.switch style cases executed INSIDE the learning run
+    assert cases_seen == {(False, False), (True, False), (False, True),
+                          (True, True)}, cases_seen
+    assert np.isfinite(float(jax.device_get(metrics["loss_all"])))
+    pck_tgt_student = pck(state.student_params, state.student_stats,
+                          tgt_imgs, tgt_tgt, tgt_w)
+    pck_tgt_teacher = pck(state.teacher_params, state.teacher_stats,
+                          tgt_imgs, tgt_tgt, tgt_w)
+    print(f"style-on: tgt_before={pck_tgt_before:.3f} "
+          f"tgt_student={pck_tgt_student:.3f} tgt_teacher={pck_tgt_teacher:.3f}")
+    assert pck_tgt_student > min(pck_tgt_before + 0.1, 0.9), \
+        (pck_tgt_before, pck_tgt_student)
+    assert pck_tgt_teacher > min(pck_tgt_before + 0.1, 0.9), \
+        (pck_tgt_before, pck_tgt_teacher)
+
+
 if __name__ == "__main__":
     test_pipeline_learns()
+    test_pipeline_learns_with_style_transfer()
     print("convergence: ok")
