@@ -4,8 +4,13 @@ Measures the steady-state throughput of the FULL adaptation iteration
 (train_human.py:305-458 equivalents): s2t+t2s AdaIN style transfer, k=1
 teacher forward, batched inverse-affine heatmap reconstruction, adaptive
 occlusion, two student forwards + backward, rectify + kth-value confidence
-masking, Adam update, teacher EMA — all in one jitted XLA program on the
-flagship config (PoseResNet-101, 256x256 -> 64x64, b=32, bf16 compute).
+masking, Adam update, teacher EMA — on the flagship config (PoseResNet-101,
+256x256 -> 64x64, b=32, bf16 compute), dispatched the way the trainers
+deploy it: N_SCAN iterations scanned per XLA dispatch (--steps-per-dispatch
+/ AdaptStepBundler), which amortizes the per-dispatch host overhead
+(~2.7 ms/step on this tunneled testbed) and measures true device-step
+throughput. Set UDA_BENCH_SCAN=1 for the legacy one-dispatch-per-step
+measurement.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -20,6 +25,7 @@ REF_IMGS_PER_SEC when a measured baseline exists.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -31,6 +37,7 @@ REF_IMGS_PER_SEC = 50.0
 BATCH = 32
 K_VIEWS = 1
 NUM_KPTS = 21
+N_SCAN = int(os.environ.get("UDA_BENCH_SCAN", "20"))  # steps per dispatch
 
 
 def main():
@@ -71,28 +78,51 @@ def main():
         "aug_params_tea": np.stack([aug] * K_VIEWS),
     }, mesh)
 
-    step = make_adapt_step(model, cfg, style_model=style, mesh=mesh)
+    if N_SCAN > 1:
+        # the deployed --steps-per-dispatch mode: one scanned dispatch of
+        # N_SCAN full iterations (state/EMA/optimizer chain through the scan)
+        from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
 
-    def run(state, i):
-        return step(state, style_params, batch, jnp.float32(1e-4),
-                    jax.random.PRNGKey(i),
-                    jnp.bool_(True), jnp.float32(0.5),
-                    jnp.bool_(True), jnp.float32(0.5))
+        bundler = AdaptStepBundler(model, cfg, style_model=style, mesh=mesh)
+        bbatch = jax.device_put(
+            jax.tree_util.tree_map(lambda x: jnp.stack([x] * N_SCAN), batch))
+        keys = jnp.stack([jax.random.PRNGKey(i) for i in range(N_SCAN)])
+        gates = jnp.ones((N_SCAN,), bool)
+        alphas = jnp.full((N_SCAN,), 0.5, jnp.float32)
+
+        def run(state, _i):
+            return bundler(state, style_params, bbatch, jnp.float32(1e-4),
+                           keys, gates, alphas, gates, alphas)
+
+        reps, iters_per_rep = 3, N_SCAN
+    else:
+        step = make_adapt_step(model, cfg, style_model=style, mesh=mesh)
+
+        def run(state, i):
+            return step(state, style_params, batch, jnp.float32(1e-4),
+                        jax.random.PRNGKey(i),
+                        jnp.bool_(True), jnp.float32(0.5),
+                        jnp.bool_(True), jnp.float32(0.5))
+
+        reps, iters_per_rep = 20, 1
 
     # warmup/compile
     state, metrics, _ = run(state, 0)
     jax.block_until_ready(metrics["loss_all"])
 
-    iters = 20
     t0 = time.perf_counter()
-    for i in range(1, iters + 1):
+    for i in range(1, reps + 1):
         state, metrics, _ = run(state, i)
     jax.block_until_ready(metrics["loss_all"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (reps * iters_per_rep)
 
     imgs_per_sec_per_chip = BATCH / dt / n_chips
+    mode = (f"{N_SCAN} steps/dispatch" if N_SCAN > 1
+            else "1 step/dispatch")
     print(json.dumps({
-        "metric": "train images/sec/chip (student+teacher+AdaIN fused adaptation step, pose_resnet101 b=32 bf16)",
+        "metric": "train images/sec/chip (student+teacher+AdaIN fused "
+                  "adaptation step, pose_resnet101 b=32 bf16, "
+                  f"{mode})",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / REF_IMGS_PER_SEC, 3),

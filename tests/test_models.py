@@ -31,35 +31,53 @@ def test_pose_resnet_shapes_and_state():
     assert any(leaves) and not all(leaves)
 
 
-def test_stem_s2d_exact():
-    """Space-to-depth stem == direct 7x7/s2 conv, same parameter (resnet.py
-    StemConv): exact up to f32 summation order, fwd and wgrad/dgrad."""
+def test_stem_modes_exact():
+    """All StemConv modes (direct / space-to-depth / im2col) compute the
+    same function from the same 7x7 parameter: exact up to f32 summation
+    order, fwd and wgrad."""
     from uda_poseestimation_tpu.models.resnet import StemConv
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
-    s2d = StemConv(features=16, s2d=True)
-    direct = StemConv(features=16, s2d=False)
-    params = s2d.init(jax.random.PRNGKey(1), x)
-
-    y1 = s2d.apply(params, x)
-    y2 = direct.apply(params, x)
-    assert y1.shape == (2, 16, 16, 16)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    direct = StemConv(features=16, mode="direct")
+    params = direct.init(jax.random.PRNGKey(1), x)
+    y_ref = direct.apply(params, x)
+    assert y_ref.shape == (2, 16, 16, 16)
 
     def loss(p, mod):
         return (mod.apply(p, x) ** 2).sum()
 
-    g1 = jax.grad(loss)(params, s2d)
-    g2 = jax.grad(loss)(params, direct)
-    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2,
-                                   rtol=1e-5)
+    g_ref = jax.grad(loss)(params, direct)
+    for mode in ("s2d", "im2col"):
+        mod = StemConv(features=16, mode=mode)
+        np.testing.assert_allclose(np.asarray(mod.apply(params, x)),
+                                   np.asarray(y_ref), atol=2e-5,
+                                   err_msg=mode)
+        g = jax.grad(loss)(params, mod)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-2, rtol=1e-5, err_msg=mode)
 
-    # odd spatial sizes fall back to the direct conv
+    # odd spatial sizes fall back to the direct conv under s2d
     x_odd = jnp.asarray(rng.randn(1, 31, 31, 3).astype(np.float32))
-    np.testing.assert_allclose(np.asarray(s2d.apply(params, x_odd)),
-                               np.asarray(direct.apply(params, x_odd)), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(StemConv(features=16, mode="s2d").apply(params, x_odd)),
+        np.asarray(direct.apply(params, x_odd)), atol=2e-5)
+
+
+def test_vgg_stem_im2col_exact():
+    """_ConvBlock(im2col=True) == the stock reflect-pad conv under shared
+    parameters (style_net.py UDA_VGG_IM2COL path)."""
+    from uda_poseestimation_tpu.models.style_net import _ConvBlock
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 17, 23, 3).astype(np.float32))
+    stock = _ConvBlock(8)
+    fast = _ConvBlock(8, im2col=True)
+    params = stock.init(jax.random.PRNGKey(5), x)
+    np.testing.assert_allclose(np.asarray(fast.apply(params, x)),
+                               np.asarray(stock.apply(params, x)), atol=2e-5)
 
 
 def test_upconv_subpixel_exact():

@@ -27,28 +27,32 @@ from jax import lax
 
 ModuleDef = Any
 
-# perf-debug kill switch for A/B measurement (PERF.md); the default is the
-# measured-faster path
-_S2D_DEFAULT = os.environ.get("UDA_STEM_S2D", "0") == "1"
+# Stem evaluation mode (PERF.md round 3 A/B): "direct" (plain 7x7/s2 conv),
+# "s2d" (space-to-depth), "im2col" (patches + matmul). All exact
+# reformulations of the same parameter; the default is the measured-fastest.
+_STEM_MODE = os.environ.get("UDA_STEM_MODE",
+                            "s2d" if os.environ.get("UDA_STEM_S2D") == "1"
+                            else "direct")
 
 
 class StemConv(nn.Module):
-    """The 7x7/stride-2 stem conv, with an optional space-to-depth form.
+    """The 7x7/stride-2 stem conv, with three exact evaluation modes.
 
     A 3-channel 7x7 conv is the worst MXU shape in the network (the
-    contraction dim is 3 vs the 128-wide systolic array). The standard TPU
-    ResNet rewrite (MLPerf-style, ``s2d=True`` / UDA_STEM_S2D=1):
-    space-to-depth the input by 2 ((B,H,W,3) -> (B,H/2,W/2,12)) and apply an
-    equivalent 4x4/stride-1 conv whose kernel is a zero-padded rearrangement
-    of the SAME 7x7 parameter — an exact reformulation (every original tap
-    maps to exactly one rearranged tap; output identical up to f32 summation
-    order, tested in tests/test_models.py). MEASURED: on the v5e bench this
-    is ~1% SLOWER than the direct conv (248.9 vs 250.9 img/s, PERF.md
-    round 3 — current XLA already handles the C=3 stem well, and s2d carries
-    +30% stem FLOPs), so the direct form is the default and s2d is kept as a
-    measured alternative. The parameter keeps the (7,7,C,F) layout/name of
-    ``nn.Conv(name='conv1')`` so torch ports and old checkpoints load
-    unchanged.
+    contraction dim is 3 vs the 128-wide systolic array). Modes (all the
+    SAME parameter, equivalence-tested in tests/test_models.py; defaults per
+    the PERF.md round-3 A/B on the v5e bench, selectable via UDA_STEM_MODE):
+
+    - ``direct``: plain conv;
+    - ``s2d`` (MLPerf-style): space-to-depth by 2 ((B,H,W,3) ->
+      (B,H/2,W/2,12)) + an equivalent 4x4/s1 conv of the rearranged kernel —
+      measured ~1% slower than direct (248.9 vs 250.9 img/s; s2d carries
+      +30% stem FLOPs and current XLA already copes with the C=3 stem);
+    - ``im2col``: extract 7x7 patches, ONE dense (C*49)->F matmul —
+      sidesteps the C=3 lane waste entirely.
+
+    The parameter keeps the (7,7,C,F) layout/name of ``nn.Conv(name='conv1')``
+    so torch ports and old checkpoints load unchanged.
 
     Derivation: output row i reads input rows 2i+kh-3, kh in [0,7). Writing
     kh-3 = 2u+v (v in {0,1}, u in [-2,1]) gives s2d row i+u at sub-row v, so
@@ -58,7 +62,7 @@ class StemConv(nn.Module):
 
     features: int = 64
     dtype: Any = jnp.float32
-    s2d: bool = True
+    mode: str = "direct"  # "direct" | "s2d" | "im2col"
 
     @nn.compact
     def __call__(self, x):
@@ -66,21 +70,35 @@ class StemConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, c, self.features), jnp.float32)
         b, h, w = x.shape[:3]
-        if not (self.s2d and h % 2 == 0 and w % 2 == 0):
+        mode = self.mode
+        if mode == "s2d" and (h % 2 or w % 2):
+            mode = "direct"
+        if mode == "s2d":
+            x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            # kernel index kh+1 = 2*iu + v with iu = (kh+1)//2: pad one
+            # leading zero row/col, then split (8,8) -> (4,2,4,2)
+            w_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            w2 = w_pad.reshape(4, 2, 4, 2, c, self.features)
+            w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
             return lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                x2.astype(self.dtype), w2.astype(self.dtype),
+                window_strides=(1, 1), padding=((2, 1), (2, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        # kernel index kh+1 = 2*iu + v with iu = (kh+1)//2: pad one leading
-        # zero row/col, then split (8,8) -> (4,2,4,2)
-        w_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        w2 = w_pad.reshape(4, 2, 4, 2, c, self.features)
-        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        if mode == "im2col":
+            # patches + matmul: materializes the (B, H/2, W/2, C*49) window
+            # tensor once, then one dense MXU contraction — sidesteps the
+            # terrible lane utilization of C=3 conv inputs entirely
+            xb = jnp.pad(x.astype(self.dtype), ((0, 0), (3, 3), (3, 3), (0, 0)))
+            p = lax.conv_general_dilated_patches(
+                xb, (7, 7), (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            wp = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+                c * 49, self.features).astype(self.dtype)
+            return jnp.einsum("bhwk,ko->bhwo", p, wp)
         return lax.conv_general_dilated(
-            x2.astype(self.dtype), w2.astype(self.dtype),
-            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -153,8 +171,8 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     dtype: Any = jnp.float32
-    # evaluate the stem space-to-depth (exact; see StemConv)
-    s2d_stem: bool = _S2D_DEFAULT
+    # stem evaluation mode (exact reformulations; see StemConv)
+    stem_mode: str = _STEM_MODE
 
     @property
     def out_features(self) -> int:
@@ -166,7 +184,7 @@ class ResNet(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
-        x = StemConv(features=64, dtype=self.dtype, s2d=self.s2d_stem,
+        x = StemConv(features=64, dtype=self.dtype, mode=self.stem_mode,
                      name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)

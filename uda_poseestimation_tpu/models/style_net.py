@@ -28,11 +28,15 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.adain import adain, calc_mean_std, gram_matrix
 
-# perf-debug kill switch for A/B measurement (PERF.md)
+# perf-debug kill switches for A/B measurement (PERF.md)
 _SUBPIXEL_DECODER = os.environ.get("UDA_SUBPIXEL_DECODER", "0") == "1"
+# evaluate the 3->64 vgg stem conv as patches + one dense matmul (exact,
+# same params) — the C=3 conv input wastes 125/128 MXU lanes otherwise
+_VGG_IM2COL = os.environ.get("UDA_VGG_IM2COL", "0") == "1"
 
 
 def _reflect_pad(x):
@@ -49,17 +53,33 @@ def _max_pool_ceil(x):
 
 
 class _ConvBlock(nn.Module):
-    """ReflectionPad(1) + Conv3x3(valid) [+ ReLU]."""
+    """ReflectionPad(1) + Conv3x3(valid) [+ ReLU].
+
+    ``im2col=True`` evaluates the same parameters as 3x3-patch extraction +
+    one dense (C*9)->F matmul — exact up to summation order; used for the
+    low-input-channel layers where a C=3 conv wastes the MXU lanes.
+    """
 
     features: int
     relu: bool = True
     dtype: Any = jnp.float32
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = _reflect_pad(x)
-        x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype)(x)
-        return nn.relu(x) if self.relu else x
+        if not self.im2col:
+            x = _reflect_pad(x)
+            x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype)(x)
+            return nn.relu(x) if self.relu else x
+        kernel, bias = _Conv3x3Params(self.features, name="Conv_0")(x.shape[-1])
+        xp = _reflect_pad(x.astype(self.dtype))
+        p = lax.conv_general_dilated_patches(
+            xp, (3, 3), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wp = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+            -1, self.features).astype(self.dtype)
+        y = jnp.einsum("bhwk,ko->bhwo", p, wp) + bias.astype(self.dtype)
+        return nn.relu(y) if self.relu else y
 
 
 class _Conv3x3Params(nn.Module):
@@ -114,7 +134,8 @@ class VGGEncoder(nn.Module):
         x = x.astype(self.dtype)
         # stage 1: 1x1 recentering conv + conv(3->64) -> relu1_1
         x = nn.Conv(3, (1, 1), padding="VALID", dtype=self.dtype, name="conv0")(x)
-        x = _ConvBlock(64, dtype=self.dtype, name="conv1_1")(x)
+        x = _ConvBlock(64, dtype=self.dtype, name="conv1_1",
+                       im2col=_VGG_IM2COL)(x)
         feats = [x]
         # stage 2: conv1_2, pool, conv2_1 -> relu2_1
         x = _ConvBlock(64, dtype=self.dtype, name="conv1_2")(x)
