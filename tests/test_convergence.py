@@ -196,7 +196,7 @@ def test_pipeline_learns_with_style_transfer():
     from uda_poseestimation_tpu.models import StyleNet
 
     cfg = StepConfig(image_size=SIZE, heatmap_size=HM, sigma=SIGMA, k=1,
-                     teacher_alpha=0.9)
+                     teacher_alpha=0.85)  # fast-tracking EMA for a short run
     model = make_model()
     state = create_state(model, jax.random.PRNGKey(0), cfg, batch_size=2)
     pretrain_step = make_pretrain_step(model, cfg)
@@ -253,7 +253,7 @@ def test_pipeline_learns_with_style_transfer():
     adapt_step = make_adapt_step(model, cfg, style_model=style)
     aug_tea = identity_aug()
     cases_seen = set()
-    for i in range(100):
+    for i in range(170):
         aug_stu = identity_aug()
         aug_stu[:, 0] = rng.uniform(-20, 20, B)
         x_t_stu = forward_warp_images(

@@ -181,7 +181,7 @@ def test_bundled_steps_match_sequential():
         for a, b in zip(jax.tree_util.tree_leaves(tree_a),
                         jax.tree_util.tree_leaves(tree_b)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-5, rtol=1e-4)
+                                       atol=5e-5, rtol=1e-4)
     assert int(state.step) == n
     assert y_last.shape[0] == B
     # partial trailing bundle: a different size compiles its own scan

@@ -142,7 +142,13 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key in ("student", "teacher"):
         if key in ckpt:
-            out[key] = convert_pose_resnet(ckpt[key])
+            entry = ckpt[key]
+            if isinstance(entry, dict) and "params" in entry:
+                # our own raw-pytree fallback for non-PoseResNet models
+                # (utils/checkpoint.py save_checkpoint)
+                out[key] = entry
+            else:
+                out[key] = convert_pose_resnet(entry)
     for key in ("epoch",):
         if key in ckpt:
             out[key] = ckpt[key]

@@ -523,8 +523,6 @@ def _run_adapt_epoch_bundled(state, style_params, bundler, mesh, source_iter,
                              target_iter, epoch, lr, args, s2t, t2s, base_rng,
                              device_aug, n_bundle, meters, progress):
     """n-iterations-per-dispatch adaptation epoch (see run_adapt_epoch)."""
-    import jax.numpy as jnp
-
     (batch_time, data_time, losses_all, losses_s, losses_c, acc_s) = meters
     batch_size = None
     end = time.time()

@@ -66,7 +66,13 @@ def save_checkpoint(path: str, payload: Dict[str, Any]):
     for key in ("student", "teacher"):
         entry = payload.get(key)
         if isinstance(entry, dict) and "params" in entry:
-            payload[key] = export_pose_resnet(_to_numpy_tree(entry))
+            try:
+                payload[key] = export_pose_resnet(_to_numpy_tree(entry))
+            except KeyError:
+                # not a PoseResNet tree (custom/test models): keep the raw
+                # sanitized pytree — the torch state-dict contract only
+                # exists for the reference's PoseResNet architecture
+                payload[key] = _sanitize(entry)
     if "stu_optimizer" in payload and payload["stu_optimizer"] is not None:
         payload["stu_optimizer"] = _sanitize(flax.serialization.to_state_dict(
             payload["stu_optimizer"]))
