@@ -68,7 +68,7 @@ def main():
         rng.uniform(-60, 60, BATCH), np.round(rng.uniform(-12, 12, BATCH)),
         np.round(rng.uniform(-12, 12, BATCH)), rng.uniform(-30, 30, BATCH),
         rng.uniform(-30, 30, BATCH), rng.uniform(0.6, 1.3, BATCH)], -1).astype(np.float32)
-    batch = shard_batch({
+    host_batch = {
         "image_s": rng.rand(BATCH, 256, 256, 3).astype(np.float32),
         "target_s": np.asarray(target),
         "weight_s": np.asarray(weight),
@@ -76,7 +76,8 @@ def main():
         "images_t_tea": rng.rand(K_VIEWS, BATCH, 256, 256, 3).astype(np.float32),
         "aug_param_stu": aug,
         "aug_params_tea": np.stack([aug] * K_VIEWS),
-    }, mesh)
+    }
+    batch = shard_batch(host_batch, mesh)
 
     if N_SCAN > 1:
         # the deployed --steps-per-dispatch mode: one scanned dispatch of
@@ -84,8 +85,9 @@ def main():
         from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
 
         bundler = AdaptStepBundler(model, cfg, style_model=style, mesh=mesh)
-        bbatch = jax.device_put(
-            jax.tree_util.tree_map(lambda x: jnp.stack([x] * N_SCAN), batch))
+        bbatch = shard_batch(
+            jax.tree_util.tree_map(lambda x: np.stack([x] * N_SCAN), host_batch),
+            mesh, lead_axes=1)
         keys = jnp.stack([jax.random.PRNGKey(i) for i in range(N_SCAN)])
         gates = jnp.ones((N_SCAN,), bool)
         alphas = jnp.full((N_SCAN,), 0.5, jnp.float32)

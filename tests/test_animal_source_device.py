@@ -244,3 +244,81 @@ def test_batch_runs_and_normalizes():
     np.testing.assert_allclose(
         np.asarray(out["image"]).mean(),
         np.asarray(out["image"]).mean())  # smoke: values exist
+
+
+def test_animal_bundled_adapt_epoch():
+    """--steps-per-dispatch through the ANIMAL pipeline: host-stacked raw
+    batches (uint8 source canvases + float target canvases + center/scale
+    trees) survive _stack_host_leaves + lead_axes=1 sharding, and the
+    scanned adapt step consumes the animal view_builder end to end."""
+    from types import SimpleNamespace
+
+    from uda_poseestimation_tpu.engine import (
+        AnimalDeviceAugPipeline,
+        run_adapt_epoch,
+    )
+    from uda_poseestimation_tpu.models import resnet as resnet_lib
+    from uda_poseestimation_tpu.models.pose_resnet import PoseResNet
+    from uda_poseestimation_tpu.ops.device_aug import DeviceAugConfig
+    from uda_poseestimation_tpu.parallel import (
+        StepConfig,
+        create_state,
+        make_mesh,
+        replicate,
+    )
+    from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+
+    # b divisible by the 8-device mesh; 32px through the stride-16 3-stage
+    # backbone -> 2x2 features -> x8 deconv head -> 16x16 heatmaps
+    b, size, hm = 8, 32, 16
+    tgt_cfg = DeviceAugConfig(image_size=size, heatmap_size=hm, sigma=1.0,
+                              rotation=30, shear=(-10, 10),
+                              translate=(0.05, 0.05), scale=(0.9, 1.1),
+                              color=0.0, use_rrc=False)
+    src_cfg = AnimalSourceAugConfig(inp_res=size, out_res=hm, sigma=1.0,
+                                    frame_w=160, frame_h=120)
+    mesh = make_mesh(8)
+    pipe = AnimalDeviceAugPipeline(
+        tgt_cfg, tgt_cfg, k=1, mean=[0.4, 0.39, 0.38], src_cfg=src_cfg,
+        flip_perm=PERM, src_mean=np.array([0.4, 0.39, 0.38], np.float32),
+        mesh=mesh)
+
+    cfg = StepConfig(image_size=size, heatmap_size=hm, sigma=1.0, k=1)
+    model = PoseResNet(backbone=resnet_lib.ResNet(
+        block=resnet_lib.BasicBlock, stage_sizes=[1, 1, 1]), num_keypoints=K)
+    state = replicate(create_state(model, jax.random.PRNGKey(0), cfg,
+                                   batch_size=2), mesh)
+    bundler = AdaptStepBundler(model, cfg, view_builder=pipe.view_builder,
+                               mesh=mesh)
+
+    class _Iter:
+        def __init__(self, seed, source):
+            self.rng = np.random.RandomState(seed)
+            self.source = source
+
+        def __next__(self):
+            rng = self.rng
+            if self.source:
+                meta = {"canvas": (rng.rand(b, 120, 160, 3) * 255).astype(np.uint8),
+                        "pts": np.concatenate(
+                            [rng.uniform(30, 90, (b, K, 2)),
+                             np.ones((b, K, 1))], -1).astype(np.float32),
+                        "center": np.tile([80.0, 60.0], (b, 1)).astype(np.float32),
+                        "scale": np.full((b,), 0.4, np.float32)}
+                return (None, None, None, meta)
+            meta = {"canvas": (rng.rand(b, size, size, 3) * 255).astype(np.uint8),
+                    "kp_orig": rng.uniform(5, 27, (b, K, 2)).astype(np.float32),
+                    "vis": np.ones((b, K), np.float32),
+                    "center": np.tile([16.0, 16.0], (b, 1)).astype(np.float32),
+                    "scale": np.full((b,), 0.15, np.float32)}
+            return (None, None, None, meta)
+
+    args = SimpleNamespace(iters_per_epoch=2, print_freq=10,
+                           image_size=size, heatmap_size=hm,
+                           steps_per_dispatch=2)
+    state = run_adapt_epoch(state, None, None, mesh,
+                            _Iter(1, True), _Iter(2, False),
+                            epoch=0, lr=1e-4, args=args,
+                            base_rng=jax.random.PRNGKey(3),
+                            device_aug=pipe, bundler=bundler)
+    assert int(jax.device_get(state.step)) == 2

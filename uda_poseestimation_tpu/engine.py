@@ -558,9 +558,10 @@ def _run_adapt_epoch_bundled(state, style_params, bundler, mesh, source_iter,
             do_s2t, alpha_s2t = s2t.draw()
             do_t2s, alpha_t2s = t2s.draw()
             gates.append((do_s2t, alpha_s2t, do_t2s, alpha_t2s))
-        if batch_size is None:
-            batch_size = len(src[0])
         stacked = jax.tree_util.tree_map(_stack_host_leaves, *host_batches)
+        if batch_size is None:
+            # every leaf is (n_sub, B, ...) after stacking
+            batch_size = jax.tree_util.tree_leaves(stacked)[0].shape[1]
         batch = shard_batch(stacked, mesh, lead_axes=1) if mesh is not None \
             else jax.tree_util.tree_map(jnp.asarray, stacked)
         rngs = jnp.stack([
