@@ -68,6 +68,13 @@ def build_parser():
 
 
 def main(args):
+    # the axon TPU plugin can win platform selection over the JAX_PLATFORMS
+    # env var; honor it explicitly (same as the main trainers)
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     np.random.seed(0)
     normalize = T.Normalize(IMAGENET_MEAN, IMAGENET_STD)
     train_transform = T.Compose([
