@@ -48,7 +48,7 @@ def main():
 
     # gather_exact=False: models run bf16, so the single-dot occlusion gather
     # is bit-equivalent (see StepConfig.gather_exact)
-    cfg = StepConfig(k=K_VIEWS, gather_exact=False)
+    cfg = StepConfig(k=K_VIEWS, gather_exact=False, style_io_dtype="bfloat16")
     mesh = make_mesh()
     n_chips = len(mesh.devices.flatten())
     model = pose_resnet101(num_keypoints=NUM_KPTS, dtype=jnp.bfloat16)

@@ -435,6 +435,85 @@ def test_decoder_batching_per_sample_exact():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_style_io_bf16_clamp_commutes_exhaustive():
+    """The bf16 styled-image transport (StepConfig.style_io_dtype) rests on:
+    bf16(clamp_f32(f32(v), lo, hi)) == clamp_bf16(v, bf16(lo), bf16(hi)) for
+    every bf16 value v. Proven here EXHAUSTIVELY over all 65536 bf16 bit
+    patterns against each per-channel bound of both trainer configs
+    (train_human.py:32-33, train_animal.py:34-35)."""
+    import ml_dtypes
+
+    all_bits = np.arange(1 << 16, dtype=np.uint16)
+    v = all_bits.view(ml_dtypes.bfloat16)
+    finite = np.isfinite(v.astype(np.float32))
+    v = v[finite]
+    v32 = v.astype(np.float32)
+
+    bounds = list(StepConfig().recover_min) + list(StepConfig().recover_max)
+    # train_animal.py:50-51 bounds
+    bounds += [-0.3999, -0.3909, -0.3871, 0.6001, 0.6091, 0.6129]
+    for lo in bounds:
+        for hi in bounds:
+            if hi <= lo:
+                continue
+            ref = np.clip(v32, np.float32(lo), np.float32(hi)).astype(
+                ml_dtypes.bfloat16)
+            got = np.minimum(np.maximum(v, ml_dtypes.bfloat16(lo)),
+                             ml_dtypes.bfloat16(hi))
+            np.testing.assert_array_equal(ref.view(np.uint16),
+                                          got.view(np.uint16),
+                                          err_msg=f"lo={lo} hi={hi}")
+
+
+def test_style_io_bf16_step_matches_f32_io():
+    """style_io_dtype='bfloat16' must be semantics-preserving for bf16
+    models: same batch/rng/gates through the fused adapt step give the same
+    losses and styled images as the default f32 transport (tolerances cover
+    cross-program fusion noise only — the inputs reaching every conv are
+    bit-identical by test_style_io_bf16_clamp_commutes_exhaustive).
+
+    1-device mesh: aux_outputs over a multi-device CPU mesh trips a stuck
+    XLA-CPU AllGather abort (the aux tensors' resharding deadlocks in the
+    in-process communicator) — same reason test_composed_parity runs
+    unsharded; sharding equivalence is covered by
+    test_sharded_step_matches_single_device."""
+    import dataclasses
+
+    mesh = make_mesh(1)
+    model = pose_resnet50(num_keypoints=K, dtype=jnp.bfloat16)
+    style = StyleNet(dtype=jnp.bfloat16)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(2))["params"], mesh)
+    batch = shard_batch(_fake_batch(np.random.RandomState(31),
+                                    with_teacher=True), mesh)
+
+    outs = {}
+    for io_dtype in ("float32", "bfloat16"):
+        cfg = dataclasses.replace(CFG, style_io_dtype=io_dtype,
+                                  aux_outputs=True)
+        state = replicate(create_state(model, jax.random.PRNGKey(1), cfg,
+                                       batch_size=2), mesh)
+        step = make_adapt_step(model, cfg, style_model=style, mesh=mesh)
+        state, metrics, _ = step(state, style_params, batch, jnp.float32(1e-3),
+                                 jax.random.PRNGKey(9),
+                                 jnp.bool_(True), jnp.float32(0.7),
+                                 jnp.bool_(True), jnp.float32(0.3))
+        outs[io_dtype] = jax.device_get(metrics)
+
+    aux32, aux16 = outs["float32"]["aux"], outs["bfloat16"]["aux"]
+    assert aux16["x_s_styled"].dtype == jnp.bfloat16
+    # styled tensors agree to bf16 resolution (values are in ~[-2.7, 2.7])
+    for name in ("x_s_styled", "x_t_teas_styled"):
+        np.testing.assert_allclose(
+            np.asarray(aux32[name], np.float32),
+            np.asarray(aux16[name], np.float32), atol=0.05,
+            err_msg=name)
+    for name in ("loss_all", "loss_s", "loss_c"):
+        np.testing.assert_allclose(outs["float32"][name], outs["bfloat16"][name],
+                                   rtol=2e-2, atol=1e-4, err_msg=name)
+
+
 def test_run_validate_sharded_matches_single_device():
     """Sharded validation (mesh over 8 devices, padded batches) must produce
     the same group PCK and mean loss as the unsharded loop — including a

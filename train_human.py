@@ -165,9 +165,10 @@ def main(args: argparse.Namespace):
                      occlude_size=args.occlude_size,
                      recover_min=RECOVER_MIN, recover_max=RECOVER_MAX,
                      use_sgd=args.SGD,
-                     # bf16 models: single-dot Pallas occlusion gather is
-                     # bit-equivalent (see StepConfig.gather_exact)
-                     gather_exact=False)
+                     # bf16 models: single-dot Pallas occlusion gather and
+                     # bf16 styled-image transport are bit-equivalent
+                     # (see StepConfig.gather_exact / style_io_dtype)
+                     gather_exact=False, style_io_dtype="bfloat16")
     model = models.__dict__[args.arch](num_keypoints=train_source_dataset.num_keypoints,
                                        finetune=args.finetune, dtype=jnp.bfloat16)
     if getattr(model, "finetune", False):

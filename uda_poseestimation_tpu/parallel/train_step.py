@@ -112,6 +112,16 @@ class StepConfig:
     # gather(bf16(x)) == bf16(gather(x)) because a gather only copies values.
     # Keep True when the models run in f32 (tests / numeric parity work).
     gather_exact: bool = True
+    # dtype carried by the styled images between the style switch and the
+    # pose models. "float32" (default) matches the reference numerics for
+    # f32-model runs. "bfloat16" keeps the decoder output, the clamp, and
+    # the un-styled passthroughs in bf16 — BIT-IDENTICAL for bf16 models
+    # (their first conv casts the input to bf16 anyway, and clamping a bf16
+    # value against bf16-rounded bounds equals cast-after-f32-clamp: the only
+    # bf16 value in [bf16(lo), lo) is bf16(lo) itself, which both paths map
+    # to bf16(lo)) — while halving the HBM traffic and the 3-channel
+    # relayout cost of the (1+k)·B styled images (PERF.md round 3).
+    style_io_dtype: str = "float32"
 
     @property
     def ratio(self) -> float:
@@ -439,9 +449,12 @@ def _adapt_step_fn(model, cfg: StepConfig, style_model: Optional[StyleNet] = Non
                 return style_model.apply({"params": style_params}, x,
                                          method=StyleNet.encode)
 
+            sdtype = (jnp.bfloat16 if cfg.style_io_dtype == "bfloat16"
+                      else jnp.float32)
+
             def dec(t):
                 return style_model.apply({"params": style_params}, t,
-                                         method=StyleNet.decode).astype(jnp.float32)
+                                         method=StyleNet.decode).astype(sdtype)
 
             from ..ops.adain import adain as adain_fn
 
@@ -472,14 +485,14 @@ def _adapt_step_fn(model, cfg: StepConfig, style_model: Optional[StyleNet] = Non
             t_t2s_flat = t_t2s.reshape((-1,) + t_t2s.shape[2:])
 
             def case_none():
-                return x_s, x_t_teas
+                return x_s.astype(sdtype), x_t_teas.astype(sdtype)
 
             def case_s2t():
-                return _clamp_styled(dec(t_s2t), cfg), x_t_teas
+                return _clamp_styled(dec(t_s2t), cfg), x_t_teas.astype(sdtype)
 
             def case_t2s():
                 g = _clamp_styled(dec(t_t2s_flat), cfg)
-                return x_s, g.reshape(x_t_teas.shape)
+                return x_s.astype(sdtype), g.reshape(x_t_teas.shape)
 
             def case_both():
                 g = _clamp_styled(dec(jnp.concatenate([t_s2t, t_t2s_flat])), cfg)
