@@ -44,7 +44,8 @@ def main():
     from uda_poseestimation_tpu.models import StyleNet, pose_resnet101
     from uda_poseestimation_tpu.ops import generate_target_batch
     from uda_poseestimation_tpu.parallel import (
-        StepConfig, create_state, make_adapt_step, make_mesh, replicate, shard_batch)
+        StepConfig, cast_floating, create_state, make_adapt_step, make_mesh,
+        replicate, shard_batch)
 
     # gather_exact=False: models run bf16, so the single-dot occlusion gather
     # is bit-equivalent (see StepConfig.gather_exact)
@@ -57,8 +58,10 @@ def main():
     state = create_state(model, jax.random.PRNGKey(0), cfg, batch_size=2)
     state = replicate(state, mesh)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
-        jax.random.PRNGKey(1))["params"], mesh)
+    # frozen at runtime -> bf16 storage, as the trainers deploy it
+    style_params = replicate(cast_floating(
+        jax.jit(lambda r: style.init(r, dummy, dummy))(
+            jax.random.PRNGKey(1))["params"], jnp.bfloat16), mesh)
 
     rng = np.random.RandomState(0)
     kp = rng.uniform(20, 230, size=(BATCH, NUM_KPTS, 2)).astype(np.float32)

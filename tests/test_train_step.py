@@ -514,6 +514,28 @@ def test_style_io_bf16_step_matches_f32_io():
                                    rtol=2e-2, atol=1e-4, err_msg=name)
 
 
+def test_bf16_style_params_bit_identical():
+    """Storing the frozen StyleNet params in bf16 (parallel.cast_floating,
+    what the trainers deploy) must be BIT-identical to f32 storage under the
+    bf16 StyleNet: flax promotes f32 params to bf16 at every apply with the
+    same round-to-nearest cast."""
+    from uda_poseestimation_tpu.parallel import cast_floating
+
+    style = StyleNet(dtype=jnp.bfloat16)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params32 = jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(7))["params"]
+    params16 = cast_floating(params32, jnp.bfloat16)
+    rng = np.random.RandomState(5)
+    content = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    sty = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+
+    fn = jax.jit(lambda p: style.apply({"params": p}, content, sty, 0.7,
+                                       method=StyleNet.stylize))
+    np.testing.assert_array_equal(np.asarray(fn(params32)),
+                                  np.asarray(fn(params16)))
+
+
 def test_run_validate_sharded_matches_single_device():
     """Sharded validation (mesh over 8 devices, padded batches) must produce
     the same group PCK and mean loss as the unsharded loop — including a

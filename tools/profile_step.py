@@ -32,8 +32,8 @@ def run_trace(out_dir: str, n_steps: int) -> None:
     from uda_poseestimation_tpu.models import StyleNet, pose_resnet101
     from uda_poseestimation_tpu.ops import generate_target_batch
     from uda_poseestimation_tpu.parallel import (
-        StepConfig, create_state, make_adapt_step, make_mesh, replicate,
-        shard_batch)
+        StepConfig, cast_floating, create_state, make_adapt_step, make_mesh,
+        replicate, shard_batch)
 
     BATCH, K_VIEWS, NUM_KPTS = 32, 1, 21
     cfg = StepConfig(k=K_VIEWS, gather_exact=False, style_io_dtype="bfloat16")
@@ -44,8 +44,9 @@ def run_trace(out_dir: str, n_steps: int) -> None:
     state = create_state(model, jax.random.PRNGKey(0), cfg, batch_size=2)
     state = replicate(state, mesh)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
-        jax.random.PRNGKey(1))["params"], mesh)
+    style_params = replicate(cast_floating(
+        jax.jit(lambda r: style.init(r, dummy, dummy))(
+            jax.random.PRNGKey(1))["params"], jnp.bfloat16), mesh)
 
     rng = np.random.RandomState(0)
     kp = rng.uniform(20, 230, size=(BATCH, NUM_KPTS, 2)).astype(np.float32)
@@ -83,7 +84,20 @@ def run_trace(out_dir: str, n_steps: int) -> None:
     print(f"trace written to {out_dir}", flush=True)
 
 
+_ASYNC_PREFIXES = ("copy-start", "copy-done", "slice-start", "slice-done",
+                   "all-reduce-start", "all-gather-start", "fusion-start",
+                   "fusion-done", "collective-permute-start")
+
+
 def parse_trace(out_dir: str, n_steps: int, top: int = 45) -> None:
+    """Print the top SYNC device ops by self-time, individually and grouped.
+
+    Async in-flight ops (copy-start/slice-start weight prefetches) are
+    skipped: their durations span whatever compute they overlap, so summing
+    them wildly overstates the step (the r3 trace 'measured' 797 ms of op
+    time inside a 125 ms step before this filter). Conditionals still
+    double-count their body ops — read the body fusions for attribution.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
@@ -100,28 +114,45 @@ def parse_trace(out_dir: str, n_steps: int, top: int = 45) -> None:
     if not device_planes:
         device_planes = [p for p in space.planes if p.lines]
 
+    import re
+
     for plane in device_planes:
         ev_meta = {m.id: m for m in plane.event_metadata.values()}
         totals = collections.Counter()
         counts = collections.Counter()
         total_ns = 0
         for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry per-op events; skip derived/step lines
-            if "step" in lname or "xla modules" in lname:
+            if line.name != "XLA Ops":  # sync op line only
                 continue
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
+                if name.startswith(_ASYNC_PREFIXES):
+                    continue
                 totals[name] += ev.duration_ps
                 counts[name] += 1
                 total_ns += ev.duration_ps
         if not totals:
             continue
-        print(f"\n=== plane: {plane.name} (lines: {[l.name for l in plane.lines]}) ===")
-        print(f"total op time: {total_ns / 1e9 / n_steps:.3f} ms/step over {n_steps} steps")
+        print(f"\n=== plane: {plane.name} (sync XLA ops) ===")
+        print(f"total sync op time: {total_ns / 1e9 / n_steps:.3f} ms/step "
+              f"over {n_steps} steps (conditional bodies double-counted)")
         print(f"{'ms/step':>9}  {'calls':>6}  op")
         for name, ps in totals.most_common(top):
-            print(f"{ps / 1e9 / n_steps:9.3f}  {counts[name] // n_steps:6d}  {name[:140]}")
+            print(f"{ps / 1e9 / n_steps:9.3f}  {counts[name] // n_steps:6d}  {name[:160]}")
+
+        # grouped: strip the %op.N counter and the operand list
+        groups = collections.Counter()
+        for name, ps in totals.items():
+            head = name.split(" = ", 1)
+            sig = re.sub(r"\.\d+$", "", head[0])
+            shape = ""
+            if len(head) > 1:
+                m = re.match(r"\(?([a-z0-9]+\[[0-9,]*\])", head[1])
+                shape = f" {m.group(1)}" if m else ""
+            groups[sig + shape] += ps
+        print(f"\n{'ms/step':>9}  op group")
+        for name, ps in groups.most_common(top):
+            print(f"{ps / 1e9 / n_steps:9.3f}  {name}")
 
 
 def main():

@@ -32,6 +32,7 @@ from uda_poseestimation_tpu.engine import (
 from uda_poseestimation_tpu.models import StyleNet
 from uda_poseestimation_tpu.parallel import (
     StepConfig,
+    cast_floating,
     create_state,
     make_adapt_step,
     make_eval_step,
@@ -151,8 +152,11 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
     if args.decoder_name is not None:
         from tools.port_torch_weights import load_style_net_params
         style_model = StyleNet(dtype=jnp.bfloat16)
-        style_params = replicate(load_style_net_params(
-            "saved_models/vgg_normalised.pth", args.decoder_name), mesh)
+        # frozen at runtime -> store bf16 (bit-identical: the bf16 StyleNet
+        # promotes f32 params to bf16 at every apply; see cast_floating)
+        style_params = replicate(cast_floating(load_style_net_params(
+            "saved_models/vgg_normalised.pth", args.decoder_name),
+            jnp.bfloat16), mesh)
     else:
         style_model = None
         style_params = None

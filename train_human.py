@@ -27,6 +27,7 @@ from uda_poseestimation_tpu.engine import (
 from uda_poseestimation_tpu.models import StyleNet
 from uda_poseestimation_tpu.parallel import (
     StepConfig,
+    cast_floating,
     create_state,
     make_adapt_step,
     make_eval_step,
@@ -184,7 +185,9 @@ def main(args: argparse.Namespace):
         style_model = StyleNet(dtype=jnp.bfloat16)
         style_params = load_style_net_params("saved_models/vgg_normalised.pth",
                                              args.decoder_name)
-        style_params = replicate(style_params, mesh)
+        # frozen at runtime -> store bf16 (bit-identical: the bf16 StyleNet
+        # promotes f32 params to bf16 at every apply; see cast_floating)
+        style_params = replicate(cast_floating(style_params, jnp.bfloat16), mesh)
     else:
         style_model = None
         style_params = None

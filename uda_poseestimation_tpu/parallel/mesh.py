@@ -65,3 +65,21 @@ def replicate(tree, mesh: Mesh):
     """device_put a pytree fully replicated (params, optimizer state)."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to ``dtype``.
+
+    Used to store the FROZEN runtime StyleNet parameters in bf16: the
+    bf16-dtype Flax modules promote f32 params to bf16 at every apply
+    anyway (same round-to-nearest cast), so pre-casting is bit-identical
+    while halving the weights' HBM footprint and the per-step async
+    weight-slice traffic the profiler shows on the f32 copies. Do NOT use
+    on trainable params (optimizers need f32 master weights)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree_util.tree_map(cast, tree)
