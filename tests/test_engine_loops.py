@@ -126,6 +126,87 @@ def test_adapt_epoch_bundled_device_aug():
     assert set(bundler._jitted) == {2, 1}
 
 
+def test_pretrain_epoch_bundled_device_aug():
+    """run_pretrain_epoch with --steps-per-dispatch > 1: the bundled loop
+    stacks raw uint8 canvases (source + style target), scans the pretrain
+    step on device with the style image built under the per-iteration s2t
+    cond, and handles a trailing partial bundle."""
+    from uda_poseestimation_tpu.parallel.train_step import PretrainStepBundler
+
+    cfg = StepConfig(image_size=SIZE, heatmap_size=HM, sigma=1.0, k=1)
+    model = PoseResNet(backbone=resnet_lib.ResNet(
+        block=resnet_lib.BasicBlock, stage_sizes=[1, 1, 1]), num_keypoints=K)
+    style = StyleNet()
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    mesh = make_mesh(8)
+    state = replicate(create_state(model, jax.random.PRNGKey(0), cfg,
+                                   batch_size=2), mesh)
+    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(1))["params"], mesh)
+    pipe = DeviceAugPipeline(_cfg(use_rrc=True), _cfg(use_rrc=False),
+                             _cfg(use_rrc=False), k=1, mean=MEAN, std=STD,
+                             mesh=mesh)
+    bundler = PretrainStepBundler(
+        model, cfg, style_model=style,
+        view_builder=pipe.pretrain_view_builder(True))
+    args = SimpleNamespace(iters_per_epoch=3, print_freq=10,
+                           image_size=SIZE, heatmap_size=HM,
+                           steps_per_dispatch=2,
+                           s2t_freq=0.5, s2t_alpha=(0.2, 0.9))
+    np.random.seed(3)  # freq=0.5 draws both gate outcomes across 3 iters
+    state = run_pretrain_epoch(state, style_params, None, mesh,
+                               _Forever(_src_item, 6), _Forever(_tgt_item, 7),
+                               epoch=0, lr=1e-4, args=args,
+                               style_enabled=True, device_aug=pipe,
+                               bundler=bundler,
+                               base_rng=jax.random.PRNGKey(8))
+    assert int(jax.device_get(state.step)) == 3
+    assert set(bundler._jitted) == {2, 1}
+
+
+def test_animal_pretrain_view_builder():
+    """AnimalDeviceAugPipeline.pretrain_view_builder: in-step device SOURCE
+    views from a raw_pretrain_batch, with the host-normalized style image
+    passing through untouched (see test_animal_style_image_passthrough)."""
+    from uda_poseestimation_tpu.data.util import FLIP_PAIRS
+    from uda_poseestimation_tpu.ops.device_aug import (
+        AnimalSourceAugConfig,
+        flip_perm_from_pairs,
+    )
+
+    n_kpt = 18
+    src_cfg = AnimalSourceAugConfig(inp_res=SIZE, out_res=HM, sigma=1.0,
+                                    frame_w=160, frame_h=120)
+    tgt_cfg = _cfg(use_rrc=False)
+    pipe = AnimalDeviceAugPipeline(
+        tgt_cfg, tgt_cfg, k=1, mean=[0.4, 0.39, 0.38],
+        src_cfg=src_cfg,
+        flip_perm=flip_perm_from_pairs(FLIP_PAIRS["real_animal"], n_kpt),
+        src_mean=np.array([0.4, 0.39, 0.38], np.float32))
+    rng = np.random.RandomState(11)
+    meta = {"canvas": rng.randint(0, 256, (B, 120, 160, 3)).astype(np.uint8),
+            "pts": np.concatenate(
+                [rng.uniform(10, 100, (B, n_kpt, 2)),
+                 np.ones((B, n_kpt, 1))], -1).astype(np.float32),
+            "center": rng.uniform(60, 100, (B, 2)).astype(np.float32),
+            "scale": np.full((B,), 0.8, np.float32)}
+    style = rng.rand(B, SIZE, SIZE, 3).astype(np.float32) - 0.4
+    src_tuple = (None, None, None, meta)
+    tgt_tuple = (None, None, None, {}, [style], None, None, None)
+
+    raw = pipe.raw_pretrain_batch(src_tuple, tgt_tuple)
+    assert raw["canvas_s"].dtype == np.uint8
+    build = pipe.pretrain_view_builder(True)
+    out = jax.jit(lambda r, b, d: build(b, r, d))(
+        jax.random.PRNGKey(3),
+        {k: jnp.asarray(v) for k, v in raw.items()}, jnp.bool_(True))
+    assert out["image_s"].shape == (B, SIZE, SIZE, 3)
+    assert out["target_s"].shape == (B, n_kpt, HM, HM)
+    assert out["weight_s"].shape[:2] == (B, n_kpt)
+    np.testing.assert_allclose(np.asarray(out["image_t_style"]), style,
+                               atol=1e-7)  # passthrough, not re-normalized
+
+
 def test_animal_style_image_passthrough():
     """The animal mt datasets color_normalize teacher views on the host even
     under --device-aug (real_animal.py:260), so style_image must feed them

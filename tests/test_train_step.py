@@ -195,6 +195,68 @@ def test_bundled_steps_match_sequential():
     assert np.isfinite(np.asarray(jax.device_get(metrics2)["loss_all"])).all()
 
 
+def test_pretrain_bundled_matches_sequential():
+    """PretrainStepBundler must be equivalent to n sequential
+    make_pretrain_step calls — same state chaining and metrics under
+    identical gate/alpha draws (same rationale/tolerances as
+    test_bundled_steps_match_sequential; SGD keeps deviations linear)."""
+    import dataclasses
+
+    from uda_poseestimation_tpu.parallel.train_step import PretrainStepBundler
+
+    cfg = dataclasses.replace(CFG, use_sgd=True)
+    mesh = make_mesh(8)
+    model = pose_resnet50(num_keypoints=K)
+    style = StyleNet()
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    style_params = replicate(jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(2))["params"], mesh)
+    n = 3
+    rng = np.random.RandomState(17)
+    host_batches = [_fake_batch(rng, with_teacher=False) for _ in range(n)]
+    gates = [(True, 0.8), (False, 0.0), (True, 0.3)]
+
+    # sequential reference
+    step = make_pretrain_step(model, cfg, style_model=style)
+    state = replicate(create_state(model, jax.random.PRNGKey(1), cfg,
+                                   batch_size=2), mesh)
+    seq_metrics = []
+    for j in range(n):
+        state, m, _ = step(state, style_params,
+                           shard_batch(host_batches[j], mesh),
+                           jnp.float32(1e-3), jnp.bool_(gates[j][0]),
+                           jnp.float32(gates[j][1]))
+        seq_metrics.append(jax.device_get(m))
+    seq_state = state
+
+    # bundled
+    bundler = PretrainStepBundler(model, cfg, style_model=style)
+    state = replicate(create_state(model, jax.random.PRNGKey(1), cfg,
+                                   batch_size=2), mesh)
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host_batches)
+    batch = shard_batch(stacked, mesh, lead_axes=1)
+    g = np.asarray(gates, np.float64)
+    rngs = jnp.stack([jax.random.PRNGKey(40 + j) for j in range(n)])
+    state, metrics, y_last = bundler(
+        state, style_params, batch, jnp.float32(1e-3), rngs,
+        jnp.asarray(g[:, 0].astype(bool)), jnp.asarray(g[:, 1], jnp.float32))
+    metrics = jax.device_get(metrics)
+
+    for j in range(n):
+        for name in ("loss_all", "loss_s", "acc_s", "acc_cnt"):
+            np.testing.assert_allclose(np.asarray(metrics[name])[j],
+                                       seq_metrics[j][name], rtol=5e-4,
+                                       atol=1e-5, err_msg=f"{name}[{j}]")
+    for tree_a, tree_b in ((state.student_params, seq_state.student_params),
+                           (state.student_stats, seq_state.student_stats)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+    assert int(state.step) == n
+    assert y_last.shape[0] == B
+
+
 def test_eval_step():
     mesh = make_mesh(8)
     model = pose_resnet50(num_keypoints=K)

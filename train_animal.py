@@ -204,12 +204,19 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         adapt_step = make_adapt_step(model, cfg, style_model=style_model, mesh=mesh)
 
     bundler = None
+    pretrain_bundler = None
     if getattr(args, "steps_per_dispatch", 1) > 1:
-        from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+        from uda_poseestimation_tpu.parallel.train_step import (
+            AdaptStepBundler, PretrainStepBundler)
         bundler = AdaptStepBundler(
             model, cfg, style_model=style_model,
             view_builder=device_aug.view_builder if device_aug else None,
             mesh=mesh)
+        pretrain_bundler = PretrainStepBundler(
+            model, cfg, style_model=style_model,
+            view_builder=(device_aug.pretrain_view_builder(
+                style_model is not None)
+                if device_aug is not None and source_on_device else None))
 
     start_epoch = 0
     if args.resume:
@@ -278,7 +285,8 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
                 style_enabled=style_model is not None,
-                device_aug=device_aug if source_on_device else None)
+                device_aug=device_aug if source_on_device else None,
+                bundler=pretrain_bundler)
         else:
             if epoch == args.pretrain_epoch:
                 checkpoint = load_checkpoint(logger.get_checkpoint_path("best_pt"))

@@ -241,15 +241,21 @@ def main(args: argparse.Namespace):
         adapt_step = make_adapt_step(model, cfg, style_model=style_model, mesh=mesh)
 
     bundler = None
+    pretrain_bundler = None
     if args.steps_per_dispatch > 1:
-        from uda_poseestimation_tpu.parallel.train_step import AdaptStepBundler
+        from uda_poseestimation_tpu.parallel.train_step import (
+            AdaptStepBundler, PretrainStepBundler)
         bundler = AdaptStepBundler(
             model, cfg, style_model=style_model,
             view_builder=device_aug.view_builder if device_aug else None,
             mesh=mesh)
+        pretrain_bundler = PretrainStepBundler(
+            model, cfg, style_model=style_model,
+            view_builder=(device_aug.pretrain_view_builder(
+                style_model is not None) if device_aug else None))
         if args.debug:
             warnings.warn("--steps-per-dispatch: --debug prediction images "
-                          "are skipped during bundled adaptation epochs")
+                          "are skipped during bundled epochs")
 
     start_epoch = 0
     if args.resume:
@@ -312,7 +318,7 @@ def main(args: argparse.Namespace):
                 train_target_iter, epoch, lr, args,
                 visualize if args.debug else None,
                 style_enabled=style_model is not None,
-                device_aug=device_aug)
+                device_aug=device_aug, bundler=pretrain_bundler)
         else:
             if epoch == args.pretrain_epoch:
                 checkpoint = load_checkpoint(logger.get_checkpoint_path("best_pt"))

@@ -178,6 +178,50 @@ class DeviceAugPipeline(_DeviceAugBase):
                           np.asarray(meta["keypoint2d"], np.float32),
                           np.asarray(weight, np.float32)[..., 0]))
 
+    def raw_pretrain_batch(self, src_tuple, tgt_tuple=None):
+        """Host dict of raw canvases for one pretrain iteration — the
+        --steps-per-dispatch path stacks n of these (see raw_adapt_batch).
+        ``tgt_tuple`` supplies the style-image canvas when s2t is enabled."""
+        x, _t, weight, meta = src_tuple
+        batch = {
+            "canvas_s": self._pack_canvas(x),
+            "kp_s": np.asarray(meta["keypoint2d"], np.float32),
+            "vis_s": np.asarray(weight, np.float32)[..., 0],
+        }
+        if tgt_tuple is not None:
+            meta_t = tgt_tuple[3]
+            batch.update({
+                "canvas_t": self._pack_canvas(tgt_tuple[0]),
+                "kp_t": np.asarray(meta_t["keypoint2d_ori"], np.float32),
+                "vis_t": np.asarray(meta_t["target_weight_ori"],
+                                    np.float32)[..., 0],
+            })
+        return batch
+
+    def pretrain_view_builder(self, style_enabled: bool):
+        """In-step source-view builder for PretrainStepBundler. The style
+        image (the teacher view the reference feeds, train_human.py:270-276)
+        is generated under a lax.cond on the iteration's s2t gate."""
+
+        def build(raw_batch, rng, do_s2t):
+            r_s, r_t = jax.random.split(rng)
+            img_s, tgt_s, w_s, _kp = self._prep_source_raw(
+                r_s, raw_batch["canvas_s"], raw_batch["kp_s"],
+                raw_batch["vis_s"])
+            out = {"image_s": img_s, "target_s": tgt_s, "weight_s": w_s}
+            if style_enabled:
+                def mk_style(_):
+                    _, _, teas, _ = self._prep_target_raw(
+                        r_t, raw_batch["canvas_t"], raw_batch["kp_t"],
+                        raw_batch["vis_t"])
+                    return teas[0]
+
+                out["image_t_style"] = jax.lax.cond(
+                    do_s2t, mk_style, lambda _: jnp.zeros_like(img_s), None)
+            return out
+
+        return build
+
     def raw_target(self, tgt_tuple):
         canvas = tgt_tuple[0]
         meta = tgt_tuple[3]
@@ -272,6 +316,41 @@ class AnimalDeviceAugPipeline(_DeviceAugBase):
                           np.asarray(meta["center"], np.float32),
                           np.asarray(meta["scale"], np.float32)))
 
+    def raw_pretrain_batch(self, src_tuple, tgt_tuple=None):
+        """Host dict of one pretrain iteration's raw inputs for the
+        --steps-per-dispatch bundle. The animal style image is the
+        host-normalized identity teacher view used AS-IS (see style_image) —
+        it rides along as a dense f32 leaf."""
+        meta = src_tuple[3]
+        batch = {
+            "canvas_s": np.asarray(meta["canvas"], np.uint8),
+            "pts_s": np.asarray(meta["pts"], np.float32),
+            "center_s": np.asarray(meta["center"], np.float32),
+            "scale_s": np.asarray(meta["scale"], np.float32),
+        }
+        if tgt_tuple is not None:
+            batch["image_t_style"] = np.asarray(tgt_tuple[4][0], np.float32)
+        return batch
+
+    def pretrain_view_builder(self, style_enabled: bool):
+        """In-step source-view builder for PretrainStepBundler (the animal
+        SOURCE pipeline runs on device; style image passes through)."""
+        if self.src_cfg is None:
+            raise ValueError("animal pretrain bundling needs src_cfg "
+                             "(--device-aug source pipeline)")
+
+        def build(raw_batch, rng, do_s2t):
+            img_s, target_s, weight_s, _ = self._source_views(
+                rng, raw_batch["canvas_s"], raw_batch["pts_s"],
+                raw_batch["center_s"], raw_batch["scale_s"])
+            out = {"image_s": img_s, "target_s": target_s,
+                   "weight_s": weight_s}
+            if style_enabled:
+                out["image_t_style"] = raw_batch["image_t_style"]
+            return out
+
+        return build
+
     def style_image(self, tgt_tuple):
         """Pretrain s2t style image: the identity teacher view, used AS-IS —
         the animal mt datasets color_normalize teacher views on the host even
@@ -329,8 +408,16 @@ class StyleGate:
 def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
                        target_iter: Optional[ForeverDataIterator], epoch, lr, args,
                        visualize=None, style_enabled=False,
-                       device_aug: Optional[DeviceAugPipeline] = None):
-    """Source-only supervised epoch (train_human.py:244-302)."""
+                       device_aug: Optional[DeviceAugPipeline] = None,
+                       bundler=None, base_rng=None):
+    """Source-only supervised epoch (train_human.py:244-302).
+
+    With ``bundler`` (a PretrainStepBundler) and ``args.steps_per_dispatch
+    > 1`` the epoch scans n iterations per dispatch, exactly like
+    run_adapt_epoch's bundled mode. In bundled+style mode a target batch is
+    fetched every iteration (the unbundled loop fetches only on fired s2t
+    draws) — bundles are pre-staged, so the fetch can't wait for the draw;
+    the style COMPUTE stays gated on the per-iteration ``do_s2t``."""
     batch_time = AverageMeter("Time", ":4.2f")
     data_time = AverageMeter("Data", ":3.1f")
     losses_all = AverageMeter("Loss (all)", ":.4e")
@@ -342,6 +429,17 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
 
     gate = StyleGate(style_enabled, getattr(args, "s2t_freq", 0.0),
                      getattr(args, "s2t_alpha", (0.0, 1.0)))
+
+    n_bundle = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
+    if n_bundle > 1 and bundler is not None:
+        if base_rng is None:
+            base_rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        return _run_pretrain_epoch_bundled(
+            state, style_params, bundler, mesh, source_iter, target_iter,
+            epoch, lr, args, gate, style_enabled, base_rng, device_aug,
+            n_bundle,
+            [batch_time, data_time, losses_all, losses_s, acc_s], progress)
+
     dummy_style = None
     end = time.time()
 
@@ -409,6 +507,70 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
         if pending is not None:
             flush(pending)
         pending = (i, len(x_s), metrics, y_s, np.asarray(x_s), meta_s)
+    if pending is not None:
+        flush(pending)
+    return state
+
+
+def _run_pretrain_epoch_bundled(state, style_params, bundler, mesh,
+                                source_iter, target_iter, epoch, lr, args,
+                                gate, style_enabled, base_rng, device_aug,
+                                n_bundle, meters, progress):
+    """n-iterations-per-dispatch pretrain epoch (see run_pretrain_epoch)."""
+    (batch_time, data_time, losses_all, losses_s, acc_s) = meters
+    batch_size = None
+    end = time.time()
+    pending = None
+
+    def flush(item):
+        nonlocal end
+        base_i, n_sub, n_img, metrics = item
+        m = jax.device_get(metrics)
+        dt = (time.time() - end) / n_sub
+        for j in range(n_sub):
+            acc_s.update(float(m["acc_s"][j]), int(m["acc_cnt"][j]))
+            losses_all.update(float(m["loss_all"][j]), n_img)
+            losses_s.update(float(m["loss_s"][j]), n_img)
+            batch_time.update(dt)
+            if (base_i + j) % args.print_freq == 0:
+                progress.display(base_i + j)
+        end = time.time()
+
+    i = 0
+    while i < args.iters_per_epoch:
+        n_sub = min(n_bundle, args.iters_per_epoch - i)
+        host_batches, gates = [], []
+        for _j in range(n_sub):
+            src = next(source_iter)
+            tgt = next(target_iter) if style_enabled else None
+            if device_aug is not None:
+                host_batches.append(device_aug.raw_pretrain_batch(src, tgt))
+            else:
+                x_s, label_s, weight_s, _meta = src
+                style_img = (np.asarray(tgt[4][0], np.float32)
+                             if style_enabled else None)
+                host_batches.append(
+                    make_source_batch(x_s, label_s, weight_s, style_img))
+            gates.append(gate.draw())
+        stacked = jax.tree_util.tree_map(_stack_host_leaves, *host_batches)
+        if batch_size is None:
+            batch_size = jax.tree_util.tree_leaves(stacked)[0].shape[1]
+        batch = shard_batch(stacked, mesh, lead_axes=1) if mesh is not None \
+            else jax.tree_util.tree_map(jnp.asarray, stacked)
+        rngs = jnp.stack([
+            jax.random.fold_in(base_rng, epoch * args.iters_per_epoch + i + j)
+            for j in range(n_sub)])
+        data_time.update(time.time() - end)
+
+        g = np.asarray(gates, np.float64)  # (n, 2)
+        state, metrics, _y_last = bundler(
+            state, style_params, batch, jnp.float32(lr), rngs,
+            jnp.asarray(g[:, 0].astype(bool)),
+            jnp.asarray(g[:, 1], jnp.float32))
+        if pending is not None:
+            flush(pending)
+        pending = (i, n_sub, batch_size, metrics)
+        i += n_sub
     if pending is not None:
         flush(pending)
     return state

@@ -371,9 +371,27 @@ def _occlude_batch(rng, x_t_stu_nhwc, y_t_tea_recon, aug_param_stu,
 
 def make_pretrain_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None):
     """Source-only supervised step (train_human.py:244-302)."""
+    fn = _pretrain_step_fn(model, cfg, style_model)
+
+    def step_fn(state, style_params, batch, lr, do_s2t, alpha):
+        return fn(state, style_params, batch, lr, None, do_s2t, alpha)
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _pretrain_step_fn(model, cfg: StepConfig,
+                      style_model: Optional[StyleNet] = None,
+                      view_builder=None):
+    """The raw (unjitted) pretrain step — shared by make_pretrain_step and
+    PretrainStepBundler. ``view_builder(raw_batch, rng, do_s2t)`` (the
+    --device-aug + --steps-per-dispatch path) builds the source views — and,
+    gated on ``do_s2t``, the style image — inside the same XLA program."""
     tx = make_tx(cfg.use_sgd)
 
-    def step_fn(state: UDAState, style_params, batch, lr, do_s2t, alpha):
+    def step_fn(state: UDAState, style_params, batch, lr, rng, do_s2t, alpha):
+        if view_builder is not None:
+            rng, r_views = jax.random.split(rng)
+            batch = view_builder(batch, r_views, do_s2t)
         x_s = batch["image_s"]
         if style_model is not None:
             x_s = _maybe_stylize(style_model, style_params, x_s,
@@ -400,7 +418,7 @@ def make_pretrain_step(model, cfg: StepConfig, style_model: Optional[StyleNet] =
                                   student_stats=new_stats, opt_state=new_opt)
         return new_state, metrics, y_s
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
 
 
 def make_adapt_step(model, cfg: StepConfig, style_model: Optional[StyleNet] = None,
@@ -629,6 +647,57 @@ class AdaptStepBundler:
             else len(do_s2t)
         return self.get(n)(state, style_params, batches, lr, rngs,
                            do_s2t, alpha_s2t, do_t2s, alpha_t2s)
+
+
+class PretrainStepBundler:
+    """--steps-per-dispatch for the PRETRAIN phase: ``lax.scan`` n
+    source-only supervised iterations per XLA dispatch.
+
+    The pretrain phase is the bulk of the canonical schedules (70 of 100
+    human epochs, train_human.py:244-302) and is just as H2D/dispatch-bound
+    on high-latency-attach hosts as adaptation — same rationale and
+    semantics as AdaptStepBundler: host gate/alpha draws ride in as (n,)
+    arrays, state chains through the scan carry, per-iteration metrics come
+    back stacked, and jitted bundles are cached per bundle size.
+
+    ``view_builder(raw_batch, rng, do_s2t)`` (from
+    DeviceAugPipeline.pretrain_view_builder / the animal twin) generates the
+    source views in-step from raw uint8 canvases; the style image is built
+    under a ``lax.cond`` on the iteration's s2t gate so un-drawn iterations
+    skip that work, like the reference only loads a style batch when the
+    draw fires (train_human.py:267-276).
+    """
+
+    def __init__(self, model, cfg: StepConfig,
+                 style_model: Optional[StyleNet] = None, view_builder=None):
+        self._step_fn = _pretrain_step_fn(model, cfg, style_model, view_builder)
+        self._jitted = {}
+
+    def get(self, n_steps: int):
+        if n_steps not in self._jitted:
+            step_fn = self._step_fn
+
+            def bundle_fn(state, style_params, batches, lr, rngs, do_s2t,
+                          alphas):
+                def body(st, xs):
+                    b, rng, ds, a = xs
+                    st, metrics, y_s = step_fn(st, style_params, b, lr, rng,
+                                               ds, a)
+                    return st, (metrics, y_s)
+
+                state, (metrics, y_all) = jax.lax.scan(
+                    body, state, (batches, rngs, do_s2t, alphas),
+                    length=n_steps)
+                return state, metrics, y_all[-1]
+
+            self._jitted[n_steps] = jax.jit(bundle_fn, donate_argnums=(0,))
+        return self._jitted[n_steps]
+
+    def __call__(self, state, style_params, batches, lr, rngs, do_s2t, alphas):
+        n = int(np.asarray(do_s2t).shape[0]) if hasattr(do_s2t, "shape") \
+            else len(do_s2t)
+        return self.get(n)(state, style_params, batches, lr, rngs, do_s2t,
+                           alphas)
 
 
 def make_eval_step(model):
