@@ -157,11 +157,40 @@ def make_animal(root, n_per_animal=8, frames_per_shot=4):
           "(set UDA_CACHED_DATA_DIR=%s)" % cached)
 
 
+def make_style_weights(out_dir="saved_models"):
+    """Random-init StyleNet weights in the reference's torch formats:
+    vgg_normalised.pth (Sequential state dict) + decoder_rand.pth — enough
+    to drive the --decoder-name CLI path (adain transfer with an untrained
+    decoder) on testbeds without the real released weights."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+
+    from tools.port_torch_weights import export_decoder, export_vgg_encoder
+    from uda_poseestimation_tpu.models import StyleNet
+
+    style = StyleNet()
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda r: style.init(r, dummy, dummy))(
+        jax.random.PRNGKey(0))["params"]
+    os.makedirs(out_dir, exist_ok=True)
+    torch.save(export_vgg_encoder(params["encoder"]),
+               os.path.join(out_dir, "vgg_normalised.pth"))
+    torch.save(export_decoder(params["decoder"]),
+               os.path.join(out_dir, "decoder_rand.pth"))
+    print("random style-net weights at", out_dir)
+
+
 if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "rhd"
     if kind == "rhd":
         make_rhd(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_rhd")
     elif kind == "animal":
         make_animal(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_animal")
+    elif kind == "style":
+        make_style_weights(sys.argv[2] if len(sys.argv) > 2 else "saved_models")
     else:
         raise SystemExit(f"unknown fixture kind {kind}")
