@@ -160,6 +160,35 @@ class _ToyDataset:
         return np.full((3, 4), i, np.float32), meta
 
 
+def test_to_uint8_canvas_bit_identical_to_packed_totensor():
+    """ToUint8Canvas (the --device-aug canvas transform) must emit exactly
+    the uint8 array the bundled staging would reconstruct from ToTensor's
+    f32 output (engine._pack_canvas round(x*255)) — the transform only
+    deletes host float round-trips, never changes shipped bytes. Non-uint8
+    sources fall back to ToTensor semantics."""
+    import uda_poseestimation_tpu.data.transforms as T
+    from uda_poseestimation_tpu.engine import DeviceAugPipeline
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (41, 37, 3), np.uint8)
+    pil = Image.fromarray(arr)
+
+    u8, kw = T.ToUint8Canvas()(pil, aug_param=np.zeros(6))
+    assert u8.dtype == np.uint8 and "aug_param" in kw
+    f32, _ = T.ToTensor()(pil)
+    packed = DeviceAugPipeline._pack_canvas(None, f32)
+    assert packed.dtype == np.uint8
+    np.testing.assert_array_equal(u8, packed)
+
+    # grayscale gains a channel axis; float sources fall back to ToTensor
+    gray, _ = T.ToUint8Canvas()(Image.fromarray(arr[..., 0]))
+    assert gray.shape == (41, 37, 1) and gray.dtype == np.uint8
+    fsrc = rng.rand(8, 8, 3).astype(np.float32)
+    out, _ = T.ToUint8Canvas()(fsrc)
+    ref, _ = T.ToTensor()(fsrc)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_loader_collate_and_forever():
     ds = _ToyDataset()
     loader = DataLoader(ds, batch_size=4, shuffle=False, drop_last=True)

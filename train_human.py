@@ -107,9 +107,12 @@ def main(args: argparse.Namespace):
     if args.device_aug:
         # raw-canvas host pipeline: decode + canonicalize only; all random
         # views are drawn on device (ops/device_aug.py DEVIATION NOTE)
-        src_train_transform = T.Compose([T.Resize(args.image_size), T.ToTensor()])
+        # uint8 canvases end to end: bit-identical to ToTensor + the uint8
+        # re-pack the staging would do anyway (see T.ToUint8Canvas)
+        src_train_transform = T.Compose([T.Resize(args.image_size),
+                                         T.ToUint8Canvas()])
         base_transform = T.Compose([T.Resize(args.image_size)])
-        raw_view = T.Compose([T.IdentityAffine(), T.ToTensor()])
+        raw_view = T.Compose([T.IdentityAffine(), T.ToUint8Canvas()])
         tgt_train_transform_stu = raw_view
         tgt_train_transform_tea = raw_view
     image_size = (args.image_size, args.image_size)
@@ -117,8 +120,9 @@ def main(args: argparse.Namespace):
 
     def maybe_cache(ds):
         # decoded-canvas cache: valid only under --device-aug, whose host
-        # transforms are deterministic (Resize/IdentityAffine/ToTensor) —
-        # all randomness moves on device, so items are safe to memoize
+        # transforms are deterministic (Resize/IdentityAffine/ToUint8Canvas)
+        # — all randomness moves on device, so items are safe to memoize
+        # (and uint8 canvases fit 4x more items per byte budget)
         if args.device_aug and args.decode_cache > 0:
             from uda_poseestimation_tpu.data.loader import CachedDataset
             return CachedDataset(ds, max_bytes=args.decode_cache * 1e9)
@@ -290,6 +294,9 @@ def main(args: argparse.Namespace):
         state = replicate(state, mesh)
 
     def visualize(image, keypoint2d, name):
+        image = np.asarray(image)
+        if image.dtype == np.uint8:  # --device-aug raw canvases
+            image = image.astype(np.float32) / 255.0
         denorm = np.asarray(image) * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
         img_u8 = np.clip(denorm * 255.0, 0, 255).astype(np.uint8)
         train_source_dataset.visualize(img_u8, keypoint2d,

@@ -215,6 +215,27 @@ class ToTensor:
         return arr, kwargs
 
 
+class ToUint8Canvas:
+    """PIL -> HWC uint8 numpy, for the --device-aug raw-canvas mode.
+
+    The device pipelines divide by 255 on device (DeviceAugPipeline
+    dev_canvas), and the bundled staging ships canvases as uint8 anyway
+    (engine _pack_canvas reconstructs EXACTLY this array from ToTensor's
+    f32 via round(x*255)) — emitting uint8 straight from the dataset is
+    bit-identical downstream while the canvas crosses the loader, the
+    decode cache, and the host->device link at 1/4 the bytes with no
+    host float round-trips. Non-uint8 sources fall back to ToTensor
+    semantics (f32 [0,1]; _pack_canvas handles mixed batches)."""
+
+    def __call__(self, image, **kwargs):
+        src = np.asarray(image)
+        if src.dtype == np.uint8:
+            if src.ndim == 2:
+                src = src[:, :, None]
+            return src, kwargs
+        return ToTensor()(image, **kwargs)
+
+
 class Normalize:
     def __init__(self, mean, std):
         self.mean = np.asarray(mean, np.float32)
