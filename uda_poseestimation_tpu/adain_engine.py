@@ -92,6 +92,25 @@ def run_decoder_training(args, source_iter, target_iter, denormalize,
     step, tx = make_decoder_step(args.content_weight, args.style_weight, args.lr)
     opt_state = tx.init(decoder_params)
 
+    # one-deep software pipeline (same pattern as the trainer epoch loops):
+    # iteration i's losses/g_t are read back only AFTER iteration i+1 is
+    # dispatched, so host decode + the per-iteration log write overlap the
+    # device step instead of blocking on a D2H round trip every iteration
+    # (the reference runs this loop for 160k iterations,
+    # adain/train/train_human.py:191-235). Log lines and PNG dumps are
+    # byte-identical, written one iteration later in wall time.
+    pending = None
+
+    def flush(item):
+        j, loss, loss_c, loss_s, g_t, content0, style0 = item
+        with open(fname, "a") as f:
+            f.write("iter: " + str(j) + ", decoder_loss: " + str(float(loss))
+                    + ", content loss: " + str(float(loss_c))
+                    + ", style loss: " + str(float(loss_s)) + "\n")
+        if j % args.log_img_interval == 0:
+            save_side_by_side(out + str(j) + ".png", np.asarray(g_t)[0],
+                              content0, style0, denormalize)
+
     i = 0
     for _ in range(args.max_iter):
         src = next(source_iter)
@@ -108,14 +127,10 @@ def run_decoder_training(args, source_iter, target_iter, denormalize,
             decoder_params, opt_state, encoder_params,
             jnp.asarray(content_images), jnp.asarray(style_images))
 
-        with open(fname, "a") as f:
-            f.write("iter: " + str(i) + ", decoder_loss: " + str(float(loss))
-                    + ", content loss: " + str(float(loss_c))
-                    + ", style loss: " + str(float(loss_s)) + "\n")
-
-        if i % args.log_img_interval == 0:
-            save_side_by_side(out + str(i) + ".png", np.asarray(g_t)[0],
-                              content_images[0], style_images[0], denormalize)
+        if pending is not None:
+            flush(pending)
+        pending = (i, loss, loss_c, loss_s, g_t,
+                   content_images[0], style_images[0])
 
         if (i + 1) % args.save_model_interval == 0 or (i + 1) == args.max_iter:
             # torch-readable, in the reference's exact on-disk format: a raw
@@ -130,3 +145,5 @@ def run_decoder_training(args, source_iter, target_iter, denormalize,
         i += 1
         if i >= args.max_iter:
             break
+    if pending is not None:
+        flush(pending)
