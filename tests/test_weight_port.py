@@ -372,3 +372,72 @@ def test_vgg_and_decoder_port_match_torch():
     g = decoder.apply({"params": dec_params}, jnp.asarray(feat_ref.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), g_ref,
                                atol=2e-4, rtol=1e-3)
+
+
+def test_restore_train_state_resume_and_pretrain():
+    """restore_train_state applies the reference's key-filtered resume/
+    pretrain loads (/root/reference/train_human.py:153-167, 240-257 and
+    train_animal.py:155-162 — note animal resume DOES restore stu_optimizer,
+    :159) and must return a state whose every leaf is back on the mesh,
+    fully replicated — filtered_update leaves host numpy arrays behind."""
+    import flax.serialization
+
+    from uda_poseestimation_tpu.parallel import (
+        StepConfig, create_state, make_mesh, replicate)
+    from uda_poseestimation_tpu.utils.checkpoint import restore_train_state
+
+    cfg = StepConfig(image_size=32, heatmap_size=8, sigma=2.0)
+    model = pose_resnet50(num_keypoints=3)
+    mesh = make_mesh(2)
+    state = replicate(create_state(model, jax.random.PRNGKey(0), cfg,
+                                   batch_size=2), mesh)
+
+    bump = lambda d: jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32) + 1.0, d)
+    stu = {"params": bump(state.student_params),
+           "batch_stats": bump(state.student_stats)}
+    tea = {"params": jax.tree_util.tree_map(
+               lambda x: np.asarray(x, np.float32) + 2.0, state.student_params),
+           "batch_stats": bump(state.teacher_stats)}
+    opt_sd = flax.serialization.to_state_dict(
+        jax.tree_util.tree_map(lambda x: np.asarray(x) + 3.0, state.opt_state))
+    ckpt = {"student": stu, "teacher": tea, "stu_optimizer": opt_sd, "epoch": 4}
+
+    logs = []
+    restored = restore_train_state(state, ckpt, mesh, load_optimizer=True,
+                                   log=logs.append)
+    assert not logs
+    for leaf in jax.tree_util.tree_leaves(restored):
+        assert isinstance(leaf, jax.Array) and leaf.sharding.is_fully_replicated
+    for a, b in zip(jax.tree_util.tree_leaves(restored.student_params),
+                    jax.tree_util.tree_leaves(stu["params"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.teacher_params),
+                    jax.tree_util.tree_leaves(tea["params"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # optimizer state restored (count leaf = 0+3 from the bump)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(lambda x: np.asarray(x) + 3.0,
+                                               state.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pretrain path: teacher initialized FROM the student entry
+    restored_pt = restore_train_state(state, ckpt, mesh,
+                                      teacher_source="student")
+    for a, b in zip(jax.tree_util.tree_leaves(restored_pt.teacher_params),
+                    jax.tree_util.tree_leaves(stu["params"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # optimizer untouched when load_optimizer=False
+    for a, b in zip(jax.tree_util.tree_leaves(restored_pt.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # incompatible optimizer tree: logged, fresh state kept, no raise
+    bad = dict(ckpt, stu_optimizer={"nonsense": np.zeros(3)})
+    restored_bad = restore_train_state(state, bad, mesh, load_optimizer=True,
+                                       log=logs.append)
+    assert logs and "optimizer" in logs[0]
+    for a, b in zip(jax.tree_util.tree_leaves(restored_bad.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -37,8 +37,8 @@ from uda_poseestimation_tpu.parallel import (
 )
 from uda_poseestimation_tpu.utils import CompleteLogger, multistep_lr
 from uda_poseestimation_tpu.utils.checkpoint import (
-    filtered_update,
     load_checkpoint,
+    restore_train_state,
     save_checkpoint,
 )
 
@@ -264,34 +264,12 @@ def main(args: argparse.Namespace):
     start_epoch = 0
     if args.resume:
         checkpoint = load_checkpoint(args.resume)
-        state = state.replace(
-            student_params=filtered_update(state.student_params,
-                                           checkpoint["student"]["params"]),
-            student_stats=filtered_update(state.student_stats,
-                                          checkpoint["student"].get("batch_stats", {})),
-            teacher_params=filtered_update(state.teacher_params,
-                                           checkpoint["teacher"]["params"]),
-            teacher_stats=filtered_update(state.teacher_stats,
-                                          checkpoint["teacher"].get("batch_stats", {})))
-        if "stu_optimizer" in checkpoint and checkpoint["stu_optimizer"] is not None:
-            try:
-                import flax.serialization
-                state = state.replace(opt_state=flax.serialization.from_state_dict(
-                    state.opt_state, checkpoint["stu_optimizer"]))
-            except Exception:
-                logger.write("resume: optimizer state incompatible; reinitialized")
+        state = restore_train_state(state, checkpoint, mesh,
+                                    load_optimizer=True, log=logger.write)
         start_epoch = int(checkpoint.get("epoch", -1)) + 1
     elif args.pretrain:
-        checkpoint = load_checkpoint(args.pretrain)
-        loaded = checkpoint["student"]
-        state = state.replace(
-            student_params=filtered_update(state.student_params, loaded["params"]),
-            student_stats=filtered_update(state.student_stats,
-                                          loaded.get("batch_stats", {})),
-            teacher_params=filtered_update(state.teacher_params, loaded["params"]),
-            teacher_stats=filtered_update(state.teacher_stats,
-                                          loaded.get("batch_stats", {})))
-        state = replicate(state, mesh)
+        state = restore_train_state(state, load_checkpoint(args.pretrain),
+                                    mesh, teacher_source="student")
 
     def visualize(image, keypoint2d, name):
         image = np.asarray(image)
@@ -328,18 +306,9 @@ def main(args: argparse.Namespace):
                 device_aug=device_aug, bundler=pretrain_bundler)
         else:
             if epoch == args.pretrain_epoch:
-                checkpoint = load_checkpoint(logger.get_checkpoint_path("best_pt"))
-                loaded = checkpoint["student"]
-                state = state.replace(
-                    student_params=filtered_update(state.student_params,
-                                                   loaded["params"]),
-                    student_stats=filtered_update(state.student_stats,
-                                                  loaded.get("batch_stats", {})),
-                    teacher_params=filtered_update(state.teacher_params,
-                                                   loaded["params"]),
-                    teacher_stats=filtered_update(state.teacher_stats,
-                                                  loaded.get("batch_stats", {})))
-                state = replicate(state, mesh)
+                state = restore_train_state(
+                    state, load_checkpoint(logger.get_checkpoint_path("best_pt")),
+                    mesh, teacher_source="student")
             state = run_adapt_epoch(
                 state, style_params, adapt_step, mesh, train_source_iter,
                 train_target_iter, epoch, lr, args,

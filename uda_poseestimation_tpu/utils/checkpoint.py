@@ -104,6 +104,47 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return flax.serialization.msgpack_restore(data)
 
 
+def restore_train_state(state, checkpoint: Dict[str, Any], mesh, *,
+                        teacher_source: str = "teacher",
+                        load_optimizer: bool = False, log=None):
+    """Apply a loaded checkpoint onto a TrainState, reference-style.
+
+    Mirrors the reference's key-filtered resume/pretrain loads
+    (/root/reference/train_human.py:153-167, 240-257): student and teacher
+    params/batch-stats merge through :func:`filtered_update`;
+    ``teacher_source='student'`` reproduces the pretrain path where both
+    models start from the pretrained student. The student optimizer state is
+    restored only when ``load_optimizer=True`` (the reference deliberately
+    skips the teacher-EMA optimizer, :153-160); an incompatible optimizer
+    tree logs and keeps the fresh one, as upstream's filtered load would.
+
+    ``filtered_update``/``from_state_dict`` leave host numpy leaves in the
+    state, so the merged state is re-replicated over ``mesh`` before
+    returning — required before feeding it to the sharded jitted steps.
+    """
+    from ..parallel.mesh import replicate
+
+    loaded_stu = checkpoint["student"]
+    loaded_tea = checkpoint[teacher_source]
+    state = state.replace(
+        student_params=filtered_update(state.student_params,
+                                       loaded_stu["params"]),
+        student_stats=filtered_update(state.student_stats,
+                                      loaded_stu.get("batch_stats", {})),
+        teacher_params=filtered_update(state.teacher_params,
+                                       loaded_tea["params"]),
+        teacher_stats=filtered_update(state.teacher_stats,
+                                      loaded_tea.get("batch_stats", {})))
+    if load_optimizer and checkpoint.get("stu_optimizer") is not None:
+        try:
+            state = state.replace(opt_state=flax.serialization.from_state_dict(
+                state.opt_state, checkpoint["stu_optimizer"]))
+        except Exception:
+            if log is not None:
+                log("resume: optimizer state incompatible; reinitialized")
+    return replicate(state, mesh)
+
+
 def filtered_update(params, loaded):
     """Mimic the reference's key-filtered load (train_human.py:163-167):
     copy leaves present in both trees with matching shapes, keep the rest."""
