@@ -35,7 +35,10 @@ def _load_torch(path):
 
 
 def _np(t):
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    # copy=True: tensor.numpy() SHARES storage with the live torch module, so
+    # a view here silently tracks any later in-place torch mutation (e.g. a
+    # test's oracle opt.step() run between convert and consume).
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
 def _conv(w):

@@ -39,9 +39,16 @@ def load_encoder_params(vgg_path: str, rng_if_missing=None):
     return jax.jit(lambda r: style.init(r, dummy, dummy))(rng)["params"]["encoder"]
 
 
-def make_decoder_step(content_weight: float, style_weight: float, lr: float):
+def make_decoder_step(content_weight: float, style_weight: float, lr: float,
+                      tx=None):
+    """The jitted decoder-training step (adain/train/train_human.py:208-215).
+
+    ``tx`` defaults to the reference's Adam(lr); tests inject SGD to compare
+    post-step parameter deltas (linear in the gradient) against the torch
+    oracle without Adam's sign(g) noise amplification."""
     style = StyleNet(style_loss_kind="meanstd")
-    tx = optax.adam(lr)
+    if tx is None:
+        tx = optax.adam(lr)
 
     @jax.jit
     def step(decoder_params, opt_state, encoder_params, content, style_imgs):
