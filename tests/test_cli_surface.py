@@ -78,3 +78,23 @@ def test_adain_cli_commands_parse():
                   "--train_on_all_cat --exp_name syn2td_0_1 --style_weight 0.1")
     args = animal_parser().parse_args(shlex.split(animal_cmd))
     assert args.train_on_all_cat and args.style_weight == 0.1
+
+
+def test_distributed_flags_on_all_main_trainers():
+    """Every main trainer (train_human, train_animal, and train_animal_other
+    via train_animal's parser) exposes the shared multi-host surface
+    (parallel/distributed.py add_distributed_args); defaults are single-
+    process so the reference command lines run unchanged."""
+    from train_animal import build_parser as animal_parser
+    from train_human import build_parser as human_parser
+
+    for build in (human_parser, animal_parser):
+        args = build().parse_args(
+            ["--dist-coordinator", "localhost:1234",
+             "--dist-num-processes", "2", "--dist-process-id", "1"]
+            + (["/x", "/y"] if build is human_parser else []))
+        assert args.dist_coordinator == "localhost:1234"
+        assert args.dist_num_processes == 2 and args.dist_process_id == 1
+        # defaults: single-process (no distributed init)
+        d = build().parse_args(["/x", "/y"] if build is human_parser else [])
+        assert d.dist_coordinator is None and d.dist_num_processes == 1

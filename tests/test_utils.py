@@ -103,3 +103,64 @@ def test_complete_logger_paths(tmp_path, capsys):
     assert logs
     with open(os.path.join(root, logs[0])) as f:
         assert "hello" in f.read()
+
+
+def test_complete_logger_non_primary_mode(tmp_path):
+    """file_output=False (non-primary distributed processes): identical
+    path derivation with a pinned timestamp, but no dirs/files created and
+    write() silenced — the multi-host logger contract."""
+    root = str(tmp_path / "logs" / "exp_mp")
+    primary = CompleteLogger(root, phase="train", now="2026-01-01-00_00_00")
+    secondary = CompleteLogger(root + "2", phase="train",
+                               now="2026-01-01-00_00_00", file_output=False)
+    assert os.path.basename(os.path.dirname(
+        primary.get_checkpoint_path("best"))) == os.path.basename(
+        os.path.dirname(secondary.get_checkpoint_path("best")))
+    secondary.set_epoch(3)
+    secondary.write("never written")
+    secondary.close()
+    assert not os.path.exists(root + "2")
+    assert not os.path.exists(secondary.checkpoint_directory)
+    primary.close()
+
+
+def test_distributed_helpers_single_process():
+    """parallel/distributed.py helpers in the single-process regime (the
+    default for every reference command line)."""
+    import numpy as np
+    import pytest
+
+    from uda_poseestimation_tpu.parallel import distributed as dist
+
+    assert dist.is_primary() and not dist.is_multiprocess()
+    assert dist.process_count() == 1 and dist.process_index() == 0
+    assert dist.local_batch_size(32) == 32
+    assert dist.local_rows(8) == slice(0, 8)
+    assert dist.broadcast_str("checkpoints_x") == "checkpoints_x"
+    dist.barrier("noop")  # no-op single-process
+
+    # control_rng: deterministic per (seed, epoch), distinct across epochs
+    a, b = dist.control_rng(0, 1), dist.control_rng(0, 1)
+    assert a.rand() == b.rand()
+    assert dist.control_rng(0, 1).rand() != dist.control_rng(0, 2).rand()
+
+    # host_local on a plain array / fully-addressable jax array
+    x = np.arange(6).reshape(3, 2)
+    np.testing.assert_array_equal(dist.host_local(x), x)
+
+
+def test_distributed_batch_split_multiprocess_semantics(monkeypatch):
+    """local_batch_size/local_rows under a simulated 2-process world:
+    even split, contiguous rank-ordered rows, divisibility error."""
+    import jax
+    import pytest
+
+    from uda_poseestimation_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert dist.local_batch_size(32) == 16
+    with pytest.raises(ValueError, match="not divisible"):
+        dist.local_batch_size(33)
+    assert dist.local_rows(8) == slice(4, 8)
+    assert not dist.is_primary() and dist.is_multiprocess()

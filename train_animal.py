@@ -60,7 +60,17 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
     import os
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    logger = CompleteLogger(args.log + "_" + args.arch, args.phase)
+    # multi-host data parallelism (--dist-*): join the distributed runtime
+    # BEFORE first backend use; see parallel/distributed.py for the contract
+    from uda_poseestimation_tpu.parallel import distributed as dist
+    multiproc = dist.maybe_initialize_from_args(args)
+    now = None
+    if multiproc:
+        import time as _time
+        now = dist.broadcast_str(
+            _time.strftime("%Y-%m-%d-%H_%M_%S", _time.localtime(_time.time())))
+    logger = CompleteLogger(args.log + "_" + args.arch, args.phase, now=now,
+                            file_output=dist.is_primary())
     logger.write(" ".join(f"{k}={v}" for k, v in vars(args).items()))
     if args.seed is not None:
         random.seed(args.seed)
@@ -87,6 +97,12 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
     # --device-aug: the synthetic source pipeline also moves on device (the
     # dataset returns raw decoded frames; imgaug/flip/crop/targets run inside
     # the fused step). Datasets without raw_mode support ignore the kwarg.
+    # multi-process: each process loads its share of the global batch (the
+    # loaders' unseeded shuffles give distinct per-process sampling, exactly
+    # like the reference's unseeded DataLoader workers)
+    local_batch = dist.local_batch_size(args.batch_size) if multiproc \
+        else args.batch_size
+
     train_source_dataset = datasets.__dict__[args.source](
         is_train=True, raw_mode=args.device_aug, **vars(args))
     source_on_device = args.device_aug and getattr(train_source_dataset,
@@ -97,7 +113,7 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         from uda_poseestimation_tpu.data.loader import CachedDataset
         train_source_for_loader = CachedDataset(
             train_source_dataset, max_bytes=args.decode_cache * 1e9)
-    train_source_loader = DataLoader(train_source_for_loader, batch_size=args.batch_size,
+    train_source_loader = DataLoader(train_source_for_loader, batch_size=local_batch,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     val_source_dataset = datasets.__dict__[args.source](is_train=False, **vars(args))
     val_source_loader = DataLoader(val_source_dataset, batch_size=args.test_batch,
@@ -106,7 +122,7 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
     target_dataset = datasets.__dict__[args.target_ssl](
         is_train=True, transforms_stu=tgt_train_transform_stu,
         transforms_tea=tgt_train_transform_tea, **vars(args))
-    train_target_loader = DataLoader(target_dataset, batch_size=args.batch_size,
+    train_target_loader = DataLoader(target_dataset, batch_size=local_batch,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     val_target_dataset = datasets.__dict__[args.target](is_train=False, **vars(args))
     val_target_loader = DataLoader(val_target_dataset, batch_size=args.test_batch,
@@ -234,6 +250,9 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         train_source_dataset.visualize(img_u8, keypoint2d,
                                        logger.get_image_path("{}.jpg".format(name)))
 
+    if not dist.is_primary():
+        visualize = None  # debug/val overlays are written by process 0 only
+
     def validate_all(params, stats, debug_visualize):
         source_acc = run_validate(eval_step, params, stats, val_source_loader, args, mesh=mesh)
         target_acc = run_validate(eval_step, params, stats, val_target_loader, args, mesh=mesh,
@@ -273,6 +292,9 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
                 bundler=pretrain_bundler)
         else:
             if epoch == args.pretrain_epoch:
+                # multi-process: wait for process 0's best_pt write (shared
+                # filesystem) before every process loads it
+                dist.barrier("best_pt")
                 state = restore_train_state(
                     state, load_checkpoint(logger.get_checkpoint_path("best_pt")),
                     mesh, teacher_source="student")
@@ -291,18 +313,19 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
             eval_params, eval_stats, visualize if args.debug else None)
 
         if target_acc["all"] > best_acc:
-            save_checkpoint(
-                logger.get_checkpoint_path(
-                    "best_pt" if epoch < args.pretrain_epoch else "best"),
-                {"student": {"params": state.student_params,
-                             "batch_stats": state.student_stats},
-                 "teacher": {"params": state.teacher_params,
-                             "batch_stats": state.teacher_stats},
-                 "stu_optimizer": state.opt_state,
-                 "lr_scheduler": {"epoch": epoch, "milestones": list(args.lr_step),
-                                  "gamma": args.lr_factor},
-                 "epoch": epoch,
-                 "args": args})
+            if dist.is_primary():  # metrics are replicated; one writer
+                save_checkpoint(
+                    logger.get_checkpoint_path(
+                        "best_pt" if epoch < args.pretrain_epoch else "best"),
+                    {"student": {"params": state.student_params,
+                                 "batch_stats": state.student_stats},
+                     "teacher": {"params": state.teacher_params,
+                                 "batch_stats": state.teacher_stats},
+                     "stu_optimizer": state.opt_state,
+                     "lr_scheduler": {"epoch": epoch, "milestones": list(args.lr_step),
+                                      "gamma": args.lr_factor},
+                     "epoch": epoch,
+                     "args": args})
             best_acc = target_acc["all"]
 
         parts = " ".join("{}: {:4.3f}".format(cat.capitalize(), acc["all"])
@@ -455,6 +478,8 @@ def build_parser():
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="adaptation iterations fused per XLA dispatch "
                              "(lax.scan over pre-staged batches); 1 disables")
+    from uda_poseestimation_tpu.parallel.distributed import add_distributed_args
+    add_distributed_args(parser)
     return parser
 
 

@@ -95,7 +95,17 @@ def main(args: argparse.Namespace):
     import os
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    logger = CompleteLogger(args.log + "_" + args.arch, args.phase)
+    # multi-host data parallelism (--dist-*): join the distributed runtime
+    # BEFORE first backend use; see parallel/distributed.py for the contract
+    from uda_poseestimation_tpu.parallel import distributed as dist
+    multiproc = dist.maybe_initialize_from_args(args)
+    now = None
+    if multiproc:
+        import time as _time
+        now = dist.broadcast_str(
+            _time.strftime("%Y-%m-%d-%H_%M_%S", _time.localtime(_time.time())))
+    logger = CompleteLogger(args.log + "_" + args.arch, args.phase, now=now,
+                            file_output=dist.is_primary())
     logger.write(" ".join(f"{k}={v}" for k, v in vars(args).items()))
     if args.seed is not None:
         random.seed(args.seed)
@@ -128,11 +138,17 @@ def main(args: argparse.Namespace):
             return CachedDataset(ds, max_bytes=args.decode_cache * 1e9)
         return ds
 
+    # multi-process: each process loads its share of the global batch (the
+    # loaders' unseeded shuffles give distinct per-process sampling, exactly
+    # like the reference's unseeded DataLoader workers)
+    local_batch = dist.local_batch_size(args.batch_size) if multiproc \
+        else args.batch_size
+
     source_dataset = datasets.__dict__[args.source]
     train_source_dataset = maybe_cache(
         source_dataset(root=args.source_root, transforms=src_train_transform,
                        image_size=image_size, heatmap_size=heatmap_size))
-    train_source_loader = DataLoader(train_source_dataset, batch_size=args.batch_size,
+    train_source_loader = DataLoader(train_source_dataset, batch_size=local_batch,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     val_source_dataset = source_dataset(root=args.source_root, split="test",
                                         transforms=val_transform,
@@ -145,7 +161,7 @@ def main(args: argparse.Namespace):
         root=args.target_root, transforms_base=base_transform,
         transforms_stu=tgt_train_transform_stu, transforms_tea=tgt_train_transform_tea,
         k=args.k, image_size=image_size, heatmap_size=heatmap_size))
-    train_target_loader = DataLoader(train_target_dataset, batch_size=args.batch_size,
+    train_target_loader = DataLoader(train_target_dataset, batch_size=local_batch,
                                      shuffle=True, num_workers=args.workers, drop_last=True)
     target_dataset = datasets.__dict__[args.target]
     val_target_dataset = target_dataset(root=args.target_root, split="test",
@@ -280,6 +296,9 @@ def main(args: argparse.Namespace):
         train_source_dataset.visualize(img_u8, keypoint2d,
                                        logger.get_image_path("{}.jpg".format(name)))
 
+    if not dist.is_primary():
+        visualize = None  # debug/val overlays are written by process 0 only
+
     if args.phase == "test":
         source_val_acc = run_validate(eval_step, state.teacher_params,
                                       state.teacher_stats, val_source_loader, args, mesh=mesh)
@@ -306,6 +325,9 @@ def main(args: argparse.Namespace):
                 device_aug=device_aug, bundler=pretrain_bundler)
         else:
             if epoch == args.pretrain_epoch:
+                # multi-process: wait for process 0's best_pt write (shared
+                # filesystem) before every process loads it
+                dist.barrier("best_pt")
                 state = restore_train_state(
                     state, load_checkpoint(logger.get_checkpoint_path("best_pt")),
                     mesh, teacher_source="student")
@@ -327,18 +349,19 @@ def main(args: argparse.Namespace):
                                       visualize=visualize if args.debug else None)
 
         if target_val_acc["all"] > best_acc:
-            save_checkpoint(
-                logger.get_checkpoint_path(
-                    "best_pt" if epoch < args.pretrain_epoch else "best"),
-                {"student": {"params": state.student_params,
-                             "batch_stats": state.student_stats},
-                 "teacher": {"params": state.teacher_params,
-                             "batch_stats": state.teacher_stats},
-                 "stu_optimizer": state.opt_state,
-                 "lr_scheduler": {"epoch": epoch, "milestones": list(args.lr_step),
-                                  "gamma": args.lr_factor},
-                 "epoch": epoch,
-                 "args": args})
+            if dist.is_primary():  # metrics are replicated; one writer
+                save_checkpoint(
+                    logger.get_checkpoint_path(
+                        "best_pt" if epoch < args.pretrain_epoch else "best"),
+                    {"student": {"params": state.student_params,
+                                 "batch_stats": state.student_stats},
+                     "teacher": {"params": state.teacher_params,
+                                 "batch_stats": state.teacher_stats},
+                     "stu_optimizer": state.opt_state,
+                     "lr_scheduler": {"epoch": epoch, "milestones": list(args.lr_step),
+                                      "gamma": args.lr_factor},
+                     "epoch": epoch,
+                     "args": args})
             best_acc = target_val_acc["all"]
         logger.write("Epoch: {} Source: {:4.3f} Target: {:4.3f} Target(best): {:4.3f}".format(
             epoch, source_val_acc["all"], target_val_acc["all"], best_acc))
@@ -464,6 +487,8 @@ def build_parser():
                              "(lax.scan over pre-staged batches) — amortizes "
                              "dispatch/readback on high-latency-attach hosts; "
                              "1 disables")
+    from uda_poseestimation_tpu.parallel.distributed import add_distributed_args
+    add_distributed_args(parser)
     return parser
 
 

@@ -390,19 +390,41 @@ class AnimalDeviceAugPipeline(_DeviceAugBase):
 
 
 class StyleGate:
-    """Host-side per-iteration Bernoulli + alpha draws (reference RNG order)."""
+    """Host-side per-iteration Bernoulli + alpha draws (reference RNG order).
 
-    def __init__(self, enabled: bool, freq: float, alpha_range):
+    ``rng`` defaults to the global np.random stream like the reference
+    (train_human.py:348,353); multi-process epochs inject a seed-derived
+    process-synchronized stream instead (parallel/distributed.py) so every
+    process gates/blends identically while data sampling stays local."""
+
+    def __init__(self, enabled: bool, freq: float, alpha_range, rng=None):
         self.enabled = enabled
         self.freq = freq
         self.alpha_range = tuple(alpha_range)
+        self.rng = rng if rng is not None else np.random
 
     def draw(self):
         if not self.enabled:
             return False, 0.0
-        if self.freq > np.random.rand():
-            return True, float(np.random.uniform(*self.alpha_range))
+        if self.freq > self.rng.rand():
+            return True, float(self.rng.uniform(*self.alpha_range))
         return False, 0.0
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _control_rng(args, epoch):
+    """Multi-process: the process-synchronized control stream (gates, step
+    PRNG seeds); single-process: the global np.random module (reference
+    behavior). Returns (stream, is_primary)."""
+    from .parallel import distributed as dist
+
+    if dist.is_multiprocess():
+        return dist.control_rng(getattr(args, "seed", 0) or 0, epoch), \
+            dist.is_primary()
+    return np.random, True
 
 
 def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
@@ -427,13 +449,14 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
                              [batch_time, data_time, losses_all, losses_s, acc_s],
                              prefix="Epoch: [{}]".format(epoch))
 
+    ctrl, primary = _control_rng(args, epoch)
     gate = StyleGate(style_enabled, getattr(args, "s2t_freq", 0.0),
-                     getattr(args, "s2t_alpha", (0.0, 1.0)))
+                     getattr(args, "s2t_alpha", (0.0, 1.0)), rng=ctrl)
 
     n_bundle = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
     if n_bundle > 1 and bundler is not None:
         if base_rng is None:
-            base_rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+            base_rng = jax.random.PRNGKey(ctrl.randint(0, 2 ** 31 - 1))
         return _run_pretrain_epoch_bundled(
             state, style_params, bundler, mesh, source_iter, target_iter,
             epoch, lr, args, gate, style_enabled, base_rng, device_aug,
@@ -460,11 +483,12 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
         losses_s.update(float(m["loss_s"]), n)
         batch_time.update(time.time() - end)
         end = time.time()
-        if i % args.print_freq == 0:
+        if primary and i % args.print_freq == 0:
             progress.display(i)
             if visualize is not None and meta_s.get("keypoint2d") is not None:
                 from .ops.pck import get_max_preds_np
-                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
+                from .parallel.distributed import host_local
+                pred_s, _ = get_max_preds_np(host_local(y_s).astype(np.float32))
                 ratio = args.image_size / args.heatmap_size
                 visualize(x_s_np[0], pred_s[0] * ratio,
                           "source_{}_pred.jpg".format(i))
@@ -532,7 +556,7 @@ def _run_pretrain_epoch_bundled(state, style_params, bundler, mesh,
             losses_all.update(float(m["loss_all"][j]), n_img)
             losses_s.update(float(m["loss_s"][j]), n_img)
             batch_time.update(dt)
-            if (base_i + j) % args.print_freq == 0:
+            if _is_primary() and (base_i + j) % args.print_freq == 0:
                 progress.display(base_i + j)
         end = time.time()
 
@@ -599,12 +623,13 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
                               losses_c, acc_s],
                              prefix="Epoch: [{}]".format(epoch))
 
+    ctrl, primary = _control_rng(args, epoch)
     s2t = StyleGate(style_enabled, getattr(args, "s2t_freq", 0.0),
-                    getattr(args, "s2t_alpha", (0.0, 1.0)))
+                    getattr(args, "s2t_alpha", (0.0, 1.0)), rng=ctrl)
     t2s = StyleGate(style_enabled, getattr(args, "t2s_freq", 0.0),
-                    getattr(args, "t2s_alpha", (0.0, 1.0)))
+                    getattr(args, "t2s_alpha", (0.0, 1.0)), rng=ctrl)
     if base_rng is None:
-        base_rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        base_rng = jax.random.PRNGKey(ctrl.randint(0, 2 ** 31 - 1))
 
     n_bundle = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
     if n_bundle > 1 and bundler is not None:
@@ -630,11 +655,12 @@ def run_adapt_epoch(state, style_params, adapt_step, mesh, source_iter, target_i
         losses_c.update(float(m["loss_c"]), n)
         batch_time.update(time.time() - end)
         end = time.time()
-        if i % args.print_freq == 0:
+        if primary and i % args.print_freq == 0:
             progress.display(i)
             if visualize is not None:
                 from .ops.pck import get_max_preds_np
-                pred_s, _ = get_max_preds_np(np.asarray(y_s, np.float32))
+                from .parallel.distributed import host_local
+                pred_s, _ = get_max_preds_np(host_local(y_s).astype(np.float32))
                 ratio = args.image_size / args.heatmap_size
                 visualize(np.asarray(src[0])[0], pred_s[0] * ratio,
                           "source_{}_pred.jpg".format(i))
@@ -701,7 +727,7 @@ def _run_adapt_epoch_bundled(state, style_params, bundler, mesh, source_iter,
             losses_s.update(float(m["loss_s"][j]), n_img)
             losses_c.update(float(m["loss_c"][j]), n_img)
             batch_time.update(dt)
-            if (base_i + j) % args.print_freq == 0:
+            if _is_primary() and (base_i + j) % args.print_freq == 0:
                 progress.display(base_i + j)
         end = time.time()
 
@@ -767,6 +793,15 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
     if mesh is not None and pad_to:
         n = mesh.size
         pad_to = ((pad_to + n - 1) // n) * n
+    # multi-process: every process iterates the full (deterministic) val
+    # loader for identical meter bookkeeping, but contributes only its
+    # contiguous row slice of each padded batch to the global array
+    from .parallel import distributed as dist
+
+    mp = dist.is_multiprocess() and mesh is not None
+    if mp and not pad_to:
+        raise ValueError("multi-process validation requires a loader batch_size")
+    primary = _is_primary()
     end = time.time()
 
     # multi-deep software pipeline: eval batches are independent, so keep a
@@ -791,11 +826,12 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
         acc.update(list(np.asarray(acc_per_kpt)), n_real)
         batch_time.update(time.time() - end)
         end = time.time()
-        if i % args.val_print_freq == 0:
+        if primary and i % args.val_print_freq == 0:
             progress.display(i)
             if visualize is not None:
                 from .ops.pck import get_max_preds_np
-                pred, _ = get_max_preds_np(np.asarray(y, np.float32))
+                from .parallel.distributed import host_local
+                pred, _ = get_max_preds_np(host_local(y).astype(np.float32))
                 ratio = image_size / heatmap_size
                 visualize(x_np[0], pred[0] * ratio, "val_{}_pred.jpg".format(i))
                 visualize(x_np[0], np.asarray(meta["keypoint2d"])[0],
@@ -815,7 +851,9 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
             label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
             weight = np.concatenate([weight, np.zeros((pad,) + weight.shape[1:], weight.dtype)])
         if mesh is not None:
-            x_d, label_d, weight_d = shard_batch([x, label, weight], mesh)
+            rows = dist.local_rows(pad_to) if mp else slice(None)
+            x_d, label_d, weight_d = shard_batch(
+                [x[rows], label[rows], weight[rows]], mesh)
         else:
             x_d, label_d, weight_d = jnp.asarray(x), jnp.asarray(label), jnp.asarray(weight)
         y, loss, acc_per_kpt = eval_step(params, stats, x_d, label_d, weight_d)

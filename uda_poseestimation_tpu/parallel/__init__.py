@@ -1,5 +1,16 @@
 """Mesh + fused sharded train/eval steps (data parallelism over ICI)."""
 
+from .distributed import (
+    barrier,
+    initialize,
+    is_multiprocess,
+    is_primary,
+    local_batch_size,
+    local_rows,
+    maybe_initialize_from_args,
+    process_count,
+    process_index,
+)
 from .mesh import (
     batch_sharding,
     cast_floating,
@@ -21,6 +32,9 @@ from .train_step import (
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "replicated", "batch_sharding",
     "cast_floating",
+    "initialize", "maybe_initialize_from_args", "is_primary",
+    "is_multiprocess", "process_count", "process_index",
+    "local_batch_size", "local_rows", "barrier",
     "StepConfig", "UDAState", "create_state", "make_tx",
     "make_pretrain_step", "make_adapt_step", "make_eval_step",
 ]

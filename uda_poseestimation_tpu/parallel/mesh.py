@@ -39,6 +39,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 STACKED_VIEW_KEYS = ("images_t_tea", "aug_params_tea", "targets_tea", "weights_tea")
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh holds devices of more than one process — host
+    arrays must then be assembled as global jax.Arrays from process-local
+    shards (see parallel/distributed.py for the multi-process contract)."""
+    if jax.process_count() == 1:
+        return False
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _put_global(x, sharding: NamedSharding):
+    """Single- and multi-process device placement of one host array.
+
+    Multi-process: ``x`` is this process's LOCAL portion along any sharded
+    axis (and the full, identical value for replicated axes);
+    ``make_array_from_process_local_data`` assembles the global Array.
+    """
+    if _spans_processes(sharding.mesh):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
                 stacked_keys=STACKED_VIEW_KEYS, lead_axes: int = 0):
     """device_put a pytree of host arrays with the batch axis sharded.
@@ -47,6 +68,10 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
     mirroring the reference's k teacher views — and are sharded on axis 1.
     ``lead_axes`` shifts the batch axis right by that many leading axes
     (the --steps-per-dispatch bundle stacks n iterations in front).
+
+    When ``mesh`` spans processes, each process passes its LOCAL batch rows
+    and the result is the assembled global array (batch axis size =
+    local x process_count).
     """
     def put(key_path, x):
         is_stacked = any(getattr(p, "key", None) in stacked_keys for p in key_path)
@@ -56,15 +81,18 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
         else:
             spec = P(*([None] * bax), axis_name,
                      *([None] * (np.ndim(x) - bax - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_global(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """device_put a pytree fully replicated (params, optimizer state)."""
+    """device_put a pytree fully replicated (params, optimizer state).
+
+    Multi-process: every process must hold the identical host value
+    (deterministic seeded init / checkpoint reads guarantee this)."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, sharding), tree)
 
 
 def cast_floating(tree, dtype):

@@ -16,11 +16,20 @@ import time
 
 
 class TextLogger:
-    """Tee stream output to a file (lib/logger.py:9-31)."""
+    """Tee stream output to a file (lib/logger.py:9-31).
 
-    def __init__(self, filename: str, stream=sys.stdout):
-        self.terminal = stream
+    Unlike the reference, the console stream defaults to *current*
+    ``sys.stdout`` at write time, not import time — an import-time binding
+    breaks when stdout is later swapped/closed (pytest capture, daemons).
+    """
+
+    def __init__(self, filename: str, stream=None):
+        self._stream = stream
         self.log = open(filename, "a")
+
+    @property
+    def terminal(self):
+        return self._stream if self._stream is not None else sys.stdout
 
     def write(self, message: str):
         self.terminal.write(message)
@@ -36,22 +45,38 @@ class TextLogger:
 
 
 class CompleteLogger:
-    """Log/checkpoint/visualization directory manager (lib/logger.py:34-119)."""
+    """Log/checkpoint/visualization directory manager (lib/logger.py:34-119).
 
-    def __init__(self, root: str, phase: str = "train"):
+    Multi-process extensions (single-process behavior unchanged):
+    ``now`` pins the checkpoints_<ts> timestamp (the trainers broadcast
+    process 0's so every process derives the same shared-filesystem paths);
+    ``file_output=False`` (non-primary processes) computes the same paths
+    but creates no directories/files and silences ``write``.
+    """
+
+    def __init__(self, root: str, phase: str = "train", now: str = None,
+                 file_output: bool = True):
         self.root = root
         self.phase = phase
+        self.file_output = file_output
         self.visualize_directory = os.path.join(self.root.replace("logs", "output_viz"), "visualize")
         self.epoch = 0
 
-        os.makedirs(self.root, exist_ok=True)
-        os.makedirs(self.visualize_directory, exist_ok=True)
+        if file_output:
+            os.makedirs(self.root, exist_ok=True)
+            os.makedirs(self.visualize_directory, exist_ok=True)
 
-        now = time.strftime("%Y-%m-%d-%H_%M_%S", time.localtime(time.time()))
+        if now is None:
+            now = time.strftime("%Y-%m-%d-%H_%M_%S", time.localtime(time.time()))
         self.checkpoint_directory = os.path.join(
             self.root.replace("logs", "checkpoints"), "checkpoints_{}".format(now))
-        os.makedirs(self.checkpoint_directory, exist_ok=True)
         log_filename = os.path.join(self.root, "{}-{}.txt".format(phase, now))
+        if not file_output:
+            self.logger = None
+            if phase != "train":
+                self.epoch = phase
+            return
+        os.makedirs(self.checkpoint_directory, exist_ok=True)
         if os.path.exists(log_filename):
             os.remove(log_filename)
         self.logger = TextLogger(log_filename)
@@ -66,11 +91,13 @@ class CompleteLogger:
         self.write(log_filename)
 
     def set_epoch(self, epoch):
-        os.makedirs(os.path.join(self.visualize_directory, str(epoch)), exist_ok=True)
+        if self.file_output:
+            os.makedirs(os.path.join(self.visualize_directory, str(epoch)), exist_ok=True)
         self.epoch = epoch
 
     def write(self, message: str):
-        self.logger.write(message + "\n")
+        if self.logger is not None:
+            self.logger.write(message + "\n")
 
     def _get_phase_or_epoch(self):
         return str(self.epoch) if self.phase == "train" else self.phase
@@ -84,4 +111,5 @@ class CompleteLogger:
         return os.path.join(self.checkpoint_directory, str(name) + ".pth")
 
     def close(self):
-        self.logger.close()
+        if self.logger is not None:
+            self.logger.close()
