@@ -1,0 +1,126 @@
+"""End-to-end CLI-surface coverage of ``train_human.main()``.
+
+The unit/engine tests cover every component; this file drives the actual
+trainer entry point the way a user does (argv -> build_parser -> main) over
+an on-disk fake-RHD fixture, covering the wiring only main() owns:
+
+- the epoch summary + per-group PCK log contract
+  (reference train_human.py:238-240);
+- ``--debug`` prediction/label overlay dumps through
+  ``CompleteLogger.get_image_path`` (reference train_human.py:300-302,
+  456-458 -> lib/datasets/keypoint_dataset.py:42-62);
+- the ``--phase test`` evaluate-only branch (reference
+  train_human.py:186-195: teacher evaluated on both loaders, target pass
+  visualized unconditionally, per-group lines, early return).
+
+Runs adaptation-only (--epochs 1 --pretrain-epoch -1) at tiny sizes on the
+8-device CPU mesh with --device-aug (the fast host pipeline).
+"""
+
+import glob
+import os
+import re
+
+import pytest
+
+from tools.make_fixtures import make_animal, make_rhd
+
+
+@pytest.fixture(scope="module")
+def rhd_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rhd"))
+    # default canvas size (320): the RHD left/right-hand extraction filter
+    # requires hand bboxes >= 64 px (rendered_hand_pose.py min_size)
+    make_rhd(root, n_train=24, n_eval=8)
+    return root
+
+
+def _args(root, log_dir, extra=()):
+    from train_human import build_parser
+    argv = [root, root, "-s", "RenderedHandPose", "-t", "RenderedHandPose",
+            "--target-train", "RenderedHandPose_mt", "--image-size", "64",
+            "--heatmap-size", "16", "-a", "pose_resnet50", "-b", "8",
+            "--test-batch", "8", "--epochs", "1", "--pretrain-epoch", "-1",
+            "-i", "2", "-p", "1", "--val-print-freq", "1", "--seed", "0",
+            "--device-aug", "--log", log_dir] + list(extra)
+    return build_parser().parse_args(argv)
+
+
+def test_train_debug_then_phase_test(rhd_root, tmp_path, capsys):
+    from train_human import main
+
+    log_dir = str(tmp_path / "logs" / "smoke")
+    main(_args(rhd_root, log_dir, ["--debug"]))
+
+    # per-iteration progress line (ProgressMeter contract) goes to stdout
+    # only — the reference's stdout tee is commented out (lib/logger.py:69-70)
+    out = capsys.readouterr().out
+    assert re.search(r"Epoch: \[0\]\[\s*\d+/2\]", out), out[-2000:]
+
+    root = log_dir + "_pose_resnet50"
+    txts = glob.glob(os.path.join(root, "train-*.txt"))
+    assert txts, "CompleteLogger must write logs/<log>_<arch>/train-<ts>.txt"
+    text = open(txts[0]).read()
+    # epoch summary line (train_human.py:238)
+    assert re.search(r"Epoch: 0 Source: \d+\.\d+ Target: \d+\.\d+ "
+                     r"Target\(best\): \d+\.\d+", text), text[-2000:]
+    # per-group PCK lines keyed by keypoint group incl. 'all' (:239-240)
+    assert re.search(r"^all: \d+\.\d+$", text, re.M), text[-2000:]
+
+    # --debug dumped overlays into output_viz/<...>/visualize/<epoch>/
+    viz = os.path.join(root.replace("logs", "output_viz"), "visualize")
+    imgs = glob.glob(os.path.join(viz, "**", "*.jpg"), recursive=True)
+    assert imgs, "--debug must dump skeleton overlays"
+    # both train-time dumps (epoch dir) and validate dumps exist
+    assert any(os.sep + "0" + os.sep in p for p in imgs), imgs
+
+    # ---- phase test: evaluate-only branch over the same logger root ----
+    args = _args(rhd_root, log_dir)
+    args.phase = "test"
+    main(args)
+    txts = glob.glob(os.path.join(root, "test-*.txt"))
+    assert txts, "phase test must open a test-<ts>.txt log"
+    text = open(txts[0]).read()
+    assert re.search(r"Source: \d+\.\d+ Target: \d+\.\d+", text), text[-2000:]
+    assert re.search(r"^all: \d+\.\d+$", text, re.M), text[-2000:]
+    # the unconditional target visualize pass wrote under visualize/test/
+    test_imgs = glob.glob(os.path.join(viz, "test", "*.jpg"))
+    assert test_imgs, "phase test visualizes the target validation pass"
+
+
+def test_animal_phase_test(tmp_path, monkeypatch):
+    """train_animal.main() --phase test: full setup wiring (kwargs datasets,
+    the mutated ``args.animal`` per-category eval loaders, TigDog parsing,
+    eval step) plus the animal summary-line contract
+    ``Source: .. Target: .. Horse: .. Tiger: ..`` and per-category group
+    blocks (reference train_animal.py:193-263)."""
+    from train_animal import build_parser, main
+
+    root = str(tmp_path / "animal")
+    make_animal(root)
+    monkeypatch.setenv("UDA_CACHED_DATA_DIR", os.path.join(root, "cached_data"))
+    log_dir = str(tmp_path / "logs" / "animal")
+    argv = ["--source", "synthetic_animal_sp_all", "--target", "real_animal_all",
+            "--target_ssl", "real_animal_all_mt",
+            "--image-path", os.path.join(root, "animal_data"),
+            "--animal", "all", "--train_on_all_cat",
+            "--image-size", "64", "--heatmap-size", "16",
+            "--inp-res", "64", "--out-res", "16",
+            "-a", "pose_resnet50", "-b", "8", "--test-batch", "8",
+            "--epochs", "1", "--pretrain-epoch", "-1", "-i", "1",
+            "-p", "1", "--val-print-freq", "1", "--seed", "0",
+            "--phase", "test", "--log", log_dir]
+    main(build_parser().parse_args(argv))
+
+    root_log = log_dir + "_pose_resnet50"
+    txts = glob.glob(os.path.join(root_log, "test-*.txt"))
+    assert txts
+    text = open(txts[0]).read()
+    assert re.search(r"Source: \d+\.\d+ Target: \d+\.\d+ "
+                     r"Horse: \d+\.\d+ Tiger: \d+\.\d+", text), text[-2000:]
+    assert re.search(r"^all: \d+\.\d+$", text, re.M), text[-2000:]
+    # per-category blocks
+    assert re.search(r"^Horse:$", text, re.M) and re.search(r"^Tiger:$", text, re.M)
+    # target + per-category validate passes dumped overlays under test/
+    viz = os.path.join(root_log.replace("logs", "output_viz"), "visualize", "test")
+    assert glob.glob(os.path.join(viz, "*.jpg"))
