@@ -35,6 +35,50 @@ def test_decoder_step_learns():
     assert g_t.shape == (2, 64, 64, 3)
 
 
+def test_decoder_step_sharding_equivalence():
+    """run_decoder_training's multi-chip path (params replicated, batch
+    sharded, gradients all-reduced by GSPMD — adain_engine._pick_decoder_mesh)
+    is numerically the single-device step. The reference's AdaIN trainers are
+    single-GPU (adain/train/train_human.py:162), so this sharding must be a
+    pure speedup with identical semantics. SGD keeps the comparison linear in
+    the gradient (see CLAUDE.md Adam-ordering note)."""
+    import optax
+
+    from uda_poseestimation_tpu.parallel import make_mesh, replicate, shard_batch
+
+    rng = np.random.RandomState(1)
+    style = StyleNet(style_loss_kind="meanstd")
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = jax.jit(lambda r: style.init(r, dummy, dummy))(jax.random.PRNGKey(0))
+    enc, dec0 = variables["params"]["encoder"], variables["params"]["decoder"]
+    content = rng.rand(8, 32, 32, 3).astype(np.float32)
+    style_imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+
+    def run(mesh):
+        step, tx = make_decoder_step(1.0, 1.0, lr=0.0, tx=optax.sgd(1e-3))
+        dec, opt = dec0, tx.init(dec0)
+        if mesh is not None:
+            enc_m = replicate(enc, mesh)
+            dec = replicate(dec, mesh)
+            opt = replicate(opt, mesh)
+            c, s = shard_batch([content, style_imgs], mesh)
+        else:
+            enc_m = enc
+            c, s = jnp.asarray(content), jnp.asarray(style_imgs)
+        losses = []
+        for _ in range(2):
+            dec, opt, loss, _lc, _ls, _g = step(dec, opt, enc_m, c, s)
+            losses.append(float(loss))
+        return losses, jax.device_get(dec)
+
+    l1, d1 = run(None)
+    l8, d8 = run(make_mesh(8))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(d1),
+                    jax.tree_util.tree_leaves(d8)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_run_decoder_training_end_to_end(tmp_path, monkeypatch):
     """Drive the whole engine loop (adain_engine.py:73-131) on fake data:
     log-line format, PNG dump cadence, checkpoint cadence, and a

@@ -69,6 +69,25 @@ def make_decoder_step(content_weight: float, style_weight: float, lr: float,
     return step, tx
 
 
+def _pick_decoder_mesh(batch_size: int):
+    """Largest local ('data',) mesh that divides the batch, or None.
+
+    The reference's AdaIN trainers are single-GPU (adain/train/
+    train_human.py:162 — plain ``.to(device)``, no DataParallel); on TPU the
+    same decoder step shards the batch across all local chips via GSPMD
+    (params replicated, gradients all-reduced over ICI) with identical
+    semantics — the content/style losses are plain batch means and the
+    encoder/decoder carry no cross-sample state (no BatchNorm)."""
+    import jax
+    n = jax.local_device_count()
+    while n > 1 and batch_size % n:
+        n -= 1
+    if n <= 1:
+        return None
+    from .parallel import make_mesh
+    return make_mesh(n)
+
+
 def save_side_by_side(path, g_t, content, style_img, denormalize):
     """Concatenate (stylized | content | style) horizontally like save_image."""
     ims = [np.clip(denormalize(np.asarray(x)), 0, 1) for x in (g_t, content, style_img)]
@@ -78,7 +97,8 @@ def save_side_by_side(path, g_t, content, style_img, denormalize):
 
 def run_decoder_training(args, source_iter, target_iter, denormalize,
                          get_target_view=lambda tgt: tgt[4][0],
-                         get_source_image=lambda src: src[0]):
+                         get_source_image=lambda src: src[0],
+                         mesh="auto"):
     exp_name = args.exp_name
     log_root = "logs/" + exp_name
     save_model_dir = Path(os.path.join(log_root, args.save_model_dir))
@@ -130,9 +150,28 @@ def run_decoder_training(args, source_iter, target_iter, denormalize,
         else:
             content_images, style_images = target_image, source_image
 
+        if i == 0:
+            if mesh == "auto":
+                # resolved on the first batch: its leading dim is the true
+                # loader batch (the human pair hardcodes 4 regardless of
+                # --batch_size, matching the reference)
+                mesh = _pick_decoder_mesh(len(content_images))
+            if mesh is not None:
+                from .parallel import replicate
+                encoder_params = replicate(encoder_params, mesh)
+                decoder_params = replicate(decoder_params, mesh)
+                opt_state = replicate(opt_state, mesh)
+                print(f"decoder training sharded over {mesh.size} devices")
+        if mesh is not None:
+            from .parallel import shard_batch
+            content_d, style_d = shard_batch(
+                [content_images, style_images], mesh)
+        else:
+            content_d = jnp.asarray(content_images)
+            style_d = jnp.asarray(style_images)
+
         decoder_params, opt_state, loss, loss_c, loss_s, g_t = step(
-            decoder_params, opt_state, encoder_params,
-            jnp.asarray(content_images), jnp.asarray(style_images))
+            decoder_params, opt_state, encoder_params, content_d, style_d)
 
         if pending is not None:
             flush(pending)
