@@ -88,6 +88,31 @@ def test_train_debug_then_phase_test(rhd_root, tmp_path, capsys):
     assert test_imgs, "phase test visualizes the target validation pass"
 
 
+def test_train_resume(rhd_root, tmp_path):
+    """--resume restores student/teacher/optimizer AND the epoch counter
+    (reference train_human.py:206-224: start_epoch = checkpoint['epoch']+1) —
+    the resumed run must continue at epoch 1, not restart at 0."""
+    from train_human import main
+
+    log_dir = str(tmp_path / "logs" / "resume")
+    main(_args(rhd_root, log_dir))
+
+    root = log_dir + "_pose_resnet50"
+    ckpts = glob.glob(os.path.join(
+        root.replace("logs", "checkpoints"), "checkpoints_*", "best.pth"))
+    assert ckpts, ("epoch 0 must beat best_acc=0 and write best.pth "
+                   "(seed-dependent: bump the seed in _args if this fires)")
+
+    args = _args(rhd_root, log_dir, ["--epochs", "2", "--resume", ckpts[0]])
+    main(args)
+    txts = sorted(glob.glob(os.path.join(root, "train-*.txt")),
+                  key=os.path.getmtime)
+    text = open(txts[-1]).read()
+    assert re.search(r"Epoch: 1 Source: \d+\.\d+", text), text[-2000:]
+    # epoch 0 was NOT re-run in the resumed process
+    assert not re.search(r"Epoch: 0 Source:", text), text[-2000:]
+
+
 def test_animal_phase_test(tmp_path, monkeypatch):
     """train_animal.main() --phase test: full setup wiring (kwargs datasets,
     the mutated ``args.animal`` per-category eval loaders, TigDog parsing,
