@@ -12,7 +12,10 @@ both processes, covering the wiring only main() owns:
   global arrays by ``shard_batch``;
 - process-0-only logs/visualization/checkpoints (``CompleteLogger``
   ``file_output=False`` on rank 1);
-- the sharded multi-process ``run_validate`` row-slice path.
+- the sharded multi-process ``run_validate`` row-slice path;
+- the --steps-per-dispatch bundled scan under multi-process (lead_axes=1
+  global-array assembly; process-synchronized per-iteration gate/PRNG
+  arrays feeding the AdaptStepBundler).
 
 Both processes must exit 0; rank 0 must write the reference's log
 artifacts; rank 1 must write nothing.
@@ -56,7 +59,7 @@ def test_two_process_train_human(tmp_path_factory):
             "--heatmap-size", "16", "-a", "pose_resnet50", "-b", "8",
             "--test-batch", "8", "--epochs", "1", "--pretrain-epoch", "-1",
             "-i", "2", "-p", "1", "--val-print-freq", "1", "--seed", "0",
-            "--device-aug", "--log", log_dir,
+            "--device-aug", "--steps-per-dispatch", "2", "--log", log_dir,
             "--dist-coordinator", f"localhost:{port}",
             "--dist-num-processes", "2"]
     procs = [subprocess.Popen(

@@ -164,3 +164,25 @@ def test_distributed_batch_split_multiprocess_semantics(monkeypatch):
         dist.local_batch_size(33)
     assert dist.local_rows(8) == slice(4, 8)
     assert not dist.is_primary() and dist.is_multiprocess()
+
+
+def test_launch_distributed_helper():
+    """tools/launch_distributed.py: appends the --dist-* rank wiring, streams
+    rank-0 output unprefixed / other ranks prefixed, propagates failures."""
+    import io
+    import sys
+
+    from tools.launch_distributed import launch
+
+    probe = ("import sys; a=sys.argv; "
+             "print('ARGS', a[a.index('--dist-process-id')+1], "
+             "a[a.index('--dist-num-processes')+1])")
+    out = io.StringIO()
+    rc = launch(2, [sys.executable, "-c", probe], stream=out)
+    assert rc == 0
+    lines = sorted(out.getvalue().splitlines())
+    assert lines == ["ARGS 0 2", "[rank 1] ARGS 1 2"]
+
+    rc = launch(2, [sys.executable, "-c",
+                    "import sys; sys.exit(3)"], stream=io.StringIO())
+    assert rc == 3

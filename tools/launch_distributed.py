@@ -1,0 +1,83 @@
+"""Spawn N local trainer processes wired for multi-host data parallelism.
+
+One-host convenience launcher for the ``--dist-*`` surface
+(parallel/distributed.py): picks a free coordinator port, launches N copies
+of the given trainer command with ``--dist-coordinator/--dist-num-processes/
+--dist-process-id`` appended, streams rank 0's output through, prefixes the
+other ranks' lines with ``[rank k]``, and exits non-zero if any rank does.
+On a real multi-host TPU pod each host runs its own process (one per host)
+with the same flags pointed at host 0 — this launcher is for single-host
+multi-process runs (tests, CPU experiments, one process per local chip
+group).
+
+Usage:
+    python tools/launch_distributed.py -n 2 -- \
+        python train_human.py <trainer args...>
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import subprocess
+import sys
+import threading
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def launch(num_processes: int, command: list[str], port: int | None = None,
+           stream=sys.stdout) -> int:
+    """Run ``command`` as ranks 0..N-1; returns the first non-zero exit code
+    (0 if all ranks succeeded)."""
+    if not command:
+        raise ValueError("empty command")
+    port = port or _free_port()
+    dist = ["--dist-coordinator", f"localhost:{port}",
+            "--dist-num-processes", str(num_processes)]
+    procs = [subprocess.Popen(
+        command + dist + ["--dist-process-id", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(num_processes)]
+
+    def pump(pid, proc):
+        prefix = "" if pid == 0 else f"[rank {pid}] "
+        for line in proc.stdout:
+            stream.write(prefix + line)
+            stream.flush()
+
+    threads = [threading.Thread(target=pump, args=(pid, p), daemon=True)
+               for pid, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    rcs = [p.wait() for p in procs]
+    for t in threads:
+        t.join(timeout=10)
+    return next((rc for rc in rcs if rc), 0)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Launch N local processes of a --dist-*-capable trainer")
+    parser.add_argument("-n", "--num-processes", type=int, required=True)
+    parser.add_argument("--port", type=int, default=None,
+                        help="coordinator port (default: pick a free one)")
+    parser.add_argument("command", nargs=argparse.REMAINDER,
+                        help="trainer command (prefix with --)")
+    args = parser.parse_args(argv)
+    command = args.command
+    if command and command[0] == "--":
+        command = command[1:]
+    if not command:
+        parser.error("no trainer command given (end flags with --)")
+    return launch(args.num_processes, command, port=args.port)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
