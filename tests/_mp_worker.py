@@ -20,6 +20,55 @@ if REPO not in sys.path:
 B, K, SIZE, HM = 4, 3, 32, 8
 
 
+def free_port() -> int:
+    import socket
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def spawn_workers(n: int, timeout: int = 900):
+    """Spawn n ranks of this script joined via jax.distributed (gloo CPU
+    collectives, 1 device each) and return {rank: [floats]} parsed from
+    their RESULT lines; kills the set on timeout/failure. Shared by
+    tests/test_multiprocess.py and __graft_entry__ dryrun sub-check 6."""
+    import subprocess
+
+    port = free_port()
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    # each rank must contribute exactly 1 CPU device to the global mesh —
+    # never inherit a forced virtual device count
+    env.pop("XLA_FLAGS", None)
+    env.pop("_UDA_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    script = os.path.abspath(__file__)
+    procs = [subprocess.Popen(
+        [sys.executable, script, f"localhost:{port}", str(n), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for pid in range(n)]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout)[0])
+    finally:
+        # a hung gloo rendezvous must not orphan the set (see CLAUDE.md)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert lines, out[-4000:]
+        vals = lines[-1].split()
+        results[int(vals[1])] = [float(v) for v in vals[2:]]
+    return results
+
+
 def make_model_cfg():
     from uda_poseestimation_tpu.models import resnet as resnet_lib
     from uda_poseestimation_tpu.models.pose_resnet import PoseResNet
@@ -93,8 +142,12 @@ def run_step(mesh, local):
     # production requirement.)
     compiled = step.lower(*step_args).compile()
     if jax.process_count() > 1:
-        from jax._src.distributed import global_state
-        global_state.client.wait_at_barrier("mp_step_compiled", 600_000)
+        try:  # private API (jax 0.9): degrade to no barrier if it moves —
+            # the run then merely risks the gloo timeout on cold caches
+            from jax._src.distributed import global_state
+            global_state.client.wait_at_barrier("mp_step_compiled", 600_000)
+        except (ImportError, AttributeError):
+            pass
     state, metrics, _y_s = compiled(*step_args)
     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.student_params))

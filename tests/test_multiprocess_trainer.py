@@ -24,22 +24,14 @@ artifacts; rank 1 must write nothing.
 import glob
 import os
 import re
-import socket
 import subprocess
 import sys
 
+from _mp_worker import free_port
 from tools.make_fixtures import make_rhd
 
 TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(TESTS_DIR)
-
-
-def _free_port():
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
 
 
 def test_two_process_train_human(tmp_path_factory):
@@ -47,7 +39,7 @@ def test_two_process_train_human(tmp_path_factory):
     make_rhd(root, n_train=24, n_eval=8)
     log_dir = str(tmp_path_factory.mktemp("out") / "logs" / "mp")
 
-    port = _free_port()
+    port = free_port()
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env.pop("XLA_FLAGS", None)  # 1 CPU device per process
@@ -70,7 +62,9 @@ def test_two_process_train_human(tmp_path_factory):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1500)
+            # generous: two trainer processes compile concurrently on a
+            # 1-core box; cold-cache pairs can take many minutes
+            out, _ = p.communicate(timeout=2400)
             outs.append(out)
     finally:
         for p in procs:

@@ -41,10 +41,18 @@ def launch(num_processes: int, command: list[str], port: int | None = None,
     port = port or _free_port()
     dist = ["--dist-coordinator", f"localhost:{port}",
             "--dist-num-processes", str(num_processes)]
-    procs = [subprocess.Popen(
-        command + dist + ["--dist-process-id", str(pid)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(num_processes)]
+    procs = []
+    try:
+        for pid in range(num_processes):
+            procs.append(subprocess.Popen(
+                command + dist + ["--dist-process-id", str(pid)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    except Exception:
+        # a partial launch must not leave earlier ranks blocked at the
+        # coordinator rendezvous waiting for ranks that never started
+        for p in procs:
+            p.kill()
+        raise
 
     def pump(pid, proc):
         prefix = "" if pid == 0 else f"[rank {pid}] "
@@ -56,10 +64,31 @@ def launch(num_processes: int, command: list[str], port: int | None = None,
                for pid, p in enumerate(procs)]
     for t in threads:
         t.start()
-    rcs = [p.wait() for p in procs]
+    try:
+        # monitor all ranks: when one fails, terminate the survivors
+        # promptly (they would otherwise block until a collective timeout)
+        import time
+        rcs = [None] * num_processes
+        while any(rc is None for rc in rcs):
+            for pid, p in enumerate(procs):
+                if rcs[pid] is None:
+                    rcs[pid] = p.poll()
+            if any(rc not in (None, 0) for rc in rcs) \
+                    and any(rc is None for rc in rcs):
+                for p in procs:
+                    if p.poll() is None:
+                        p.terminate()
+            time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for t in threads:
         t.join(timeout=10)
-    return next((rc for rc in rcs if rc), 0)
+    # prefer a real exit code over the negative-signal codes of ranks we
+    # terminated ourselves after the first failure
+    return next((rc for rc in rcs if rc and rc > 0),
+                next((rc for rc in rcs if rc), 0))
 
 
 def main(argv=None):

@@ -108,8 +108,13 @@ def main(args: argparse.Namespace):
                             file_output=dist.is_primary())
     logger.write(" ".join(f"{k}={v}" for k, v in vars(args).items()))
     if args.seed is not None:
-        random.seed(args.seed)
-        np.random.seed(args.seed)
+        # multi-process: offset the GLOBAL host streams (per-sample transform
+        # augmentation) per rank so sub-batch augs aren't duplicated across
+        # processes; control RNG (gates, step/init PRNG, device-aug keys)
+        # derives from the un-offset args.seed and stays synchronized
+        host_seed = args.seed + dist.process_index() * 10007
+        random.seed(host_seed)
+        np.random.seed(host_seed)
         warnings.warn("You have chosen to seed training.")
 
     (src_train_transform, base_transform, tgt_train_transform_stu,

@@ -492,7 +492,10 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
                 ratio = args.image_size / args.heatmap_size
                 visualize(x_s_np[0], pred_s[0] * ratio,
                           "source_{}_pred.jpg".format(i))
-                visualize(x_s_np[0], np.asarray(meta_s["keypoint2d"])[0],
+                # device-aug: keypoint2d is the sharded on-device kp_aug —
+                # like y_s above, fetch only this process's rows (row 0 of
+                # rank 0 == global row 0, matching x_s_np[0])
+                visualize(x_s_np[0], host_local(meta_s["keypoint2d"])[0],
                           "source_{}_label.jpg".format(i))
 
     for i in range(args.iters_per_epoch):
@@ -797,8 +800,12 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
     # loader for identical meter bookkeeping, but contributes only its
     # contiguous row slice of each padded batch to the global array
     from .parallel import distributed as dist
+    from .parallel.mesh import _spans_processes
 
-    mp = dist.is_multiprocess() and mesh is not None
+    # keyed on the MESH, not the global process count: a local/sub-mesh
+    # (e.g. the mesh(1) aux pattern) must take the single-process path even
+    # inside a multi-process run
+    mp = mesh is not None and _spans_processes(mesh)
     if mp and not pad_to:
         raise ValueError("multi-process validation requires a loader batch_size")
     primary = _is_primary()

@@ -17,8 +17,12 @@ Design (the multi-process contract):
   PRNG) must be IDENTICAL across processes — the engine swaps the
   reference's global-np.random draws for a seed-derived private stream when
   ``jax.process_count() > 1`` (same draw structure, process-synchronized);
-- per-sample *data* randomness (loader shuffles, worker augmentation) stays
-  process-local, exactly like the reference's unseeded DataLoader workers;
+- per-sample *data* randomness stays process-distinct, like the
+  reference's unseeded DataLoader workers: loader shuffles use OS entropy
+  (data/loader.py default_rng(None)) and the trainers offset the global
+  random/np.random seeds per rank (seed + rank*10007) so host-transform
+  augmentation streams differ too (dataset split construction re-seeds
+  itself to fixed constants, so splits stay identical across ranks);
 - checkpoints/logs/visualization are written by process 0 only; the
   pretrain->adapt ``best_pt`` reload point barriers first and assumes a
   shared filesystem (the standard multi-host TPU setup).

@@ -54,7 +54,12 @@ def _put_global(x, sharding: NamedSharding):
     Multi-process: ``x`` is this process's LOCAL portion along any sharded
     axis (and the full, identical value for replicated axes);
     ``make_array_from_process_local_data`` assembles the global Array.
+    Arrays already carrying the target sharding pass through untouched
+    (re-replicating restored state must not round-trip ~200 MB of params
+    through host numpy per process).
     """
+    if getattr(x, "sharding", None) == sharding:
+        return x
     if _spans_processes(sharding.mesh):
         return jax.make_array_from_process_local_data(sharding, np.asarray(x))
     return jax.device_put(x, sharding)
