@@ -306,3 +306,44 @@ def test_lsp_dataset(tmp_path):
     assert weight[6] == 0 and weight[7] == 0
     acc = ds.group_accuracy(list(np.linspace(0, 1, 16)))
     assert "all" in acc and "head" in acc
+
+
+def test_loader_rank_partition():
+    """DataLoader(partition=(rank, world)): torch-DistributedSampler
+    semantics for multi-host training (parallel/distributed.py) — every
+    rank draws the identical seed-derived per-epoch permutation and keeps a
+    disjoint strided slice, so each sample is seen exactly once per epoch
+    globally and permutations change across epochs."""
+    import pytest
+
+    from uda_poseestimation_tpu.data.loader import DataLoader
+
+    class Ints:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            return np.asarray(i)
+
+    def epoch_indices(loader):
+        return [int(v) for batch in loader for v in batch]
+
+    loaders = [DataLoader(Ints(), batch_size=2, shuffle=True, seed=7,
+                          partition=(rank, 2)) for rank in range(2)]
+    e0 = [epoch_indices(ld) for ld in loaders]
+    assert len(e0[0]) == len(e0[1]) == 10 == len(loaders[0]) * 2
+    assert not (set(e0[0]) & set(e0[1]))          # disjoint across ranks
+    assert set(e0[0]) | set(e0[1]) == set(range(20))  # full coverage
+    # next epoch: same cross-rank contract, different permutation
+    e1 = [epoch_indices(ld) for ld in loaders]
+    assert set(e1[0]) | set(e1[1]) == set(range(20))
+    assert not (set(e1[0]) & set(e1[1]))
+    assert e1[0] != e0[0]
+    # unshuffled partition: deterministic strided split, no seed needed
+    plain = DataLoader(Ints(), batch_size=5, partition=(1, 2))
+    assert epoch_indices(plain) == list(range(1, 20, 2))
+    # guardrails
+    with pytest.raises(ValueError, match="seed"):
+        DataLoader(Ints(), batch_size=2, shuffle=True, partition=(0, 2))
+    with pytest.raises(ValueError, match="partition"):
+        DataLoader(Ints(), batch_size=2, partition=(2, 2))

@@ -102,11 +102,13 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
     # --device-aug: the synthetic source pipeline also moves on device (the
     # dataset returns raw decoded frames; imgaug/flip/crop/targets run inside
     # the fused step). Datasets without raw_mode support ignore the kwarg.
-    # multi-process: each process loads its share of the global batch (the
-    # loaders' unseeded shuffles give distinct per-process sampling, exactly
-    # like the reference's unseeded DataLoader workers)
+    # multi-process: each process loads its share of the global batch with
+    # DistributedSampler semantics — a rank-partitioned synchronized
+    # permutation, so every sample is seen exactly once per epoch globally
     local_batch = dist.local_batch_size(args.batch_size) if multiproc \
         else args.batch_size
+    part = {"partition": (dist.process_index(), dist.process_count()),
+            "seed": args.seed} if multiproc else {}
 
     train_source_dataset = datasets.__dict__[args.source](
         is_train=True, raw_mode=args.device_aug, **vars(args))
@@ -119,7 +121,8 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         train_source_for_loader = CachedDataset(
             train_source_dataset, max_bytes=args.decode_cache * 1e9)
     train_source_loader = DataLoader(train_source_for_loader, batch_size=local_batch,
-                                     shuffle=True, num_workers=args.workers, drop_last=True)
+                                     shuffle=True, num_workers=args.workers, drop_last=True,
+                                     **part)
     val_source_dataset = datasets.__dict__[args.source](is_train=False, **vars(args))
     val_source_loader = DataLoader(val_source_dataset, batch_size=args.test_batch,
                                    shuffle=False, num_workers=args.workers, drop_last=False)
@@ -128,7 +131,8 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         is_train=True, transforms_stu=tgt_train_transform_stu,
         transforms_tea=tgt_train_transform_tea, **vars(args))
     train_target_loader = DataLoader(target_dataset, batch_size=local_batch,
-                                     shuffle=True, num_workers=args.workers, drop_last=True)
+                                     shuffle=True, num_workers=args.workers, drop_last=True,
+                                     **part)
     val_target_dataset = datasets.__dict__[args.target](is_train=False, **vars(args))
     val_target_loader = DataLoader(val_target_dataset, batch_size=args.test_batch,
                                    shuffle=False, num_workers=args.workers, drop_last=False)

@@ -143,18 +143,21 @@ def main(args: argparse.Namespace):
             return CachedDataset(ds, max_bytes=args.decode_cache * 1e9)
         return ds
 
-    # multi-process: each process loads its share of the global batch (the
-    # loaders' unseeded shuffles give distinct per-process sampling, exactly
-    # like the reference's unseeded DataLoader workers)
+    # multi-process: each process loads its share of the global batch with
+    # DistributedSampler semantics — a rank-partitioned synchronized
+    # permutation, so every sample is seen exactly once per epoch globally
     local_batch = dist.local_batch_size(args.batch_size) if multiproc \
         else args.batch_size
+    part = {"partition": (dist.process_index(), dist.process_count()),
+            "seed": args.seed} if multiproc else {}
 
     source_dataset = datasets.__dict__[args.source]
     train_source_dataset = maybe_cache(
         source_dataset(root=args.source_root, transforms=src_train_transform,
                        image_size=image_size, heatmap_size=heatmap_size))
     train_source_loader = DataLoader(train_source_dataset, batch_size=local_batch,
-                                     shuffle=True, num_workers=args.workers, drop_last=True)
+                                     shuffle=True, num_workers=args.workers, drop_last=True,
+                                     **part)
     val_source_dataset = source_dataset(root=args.source_root, split="test",
                                         transforms=val_transform,
                                         image_size=image_size, heatmap_size=heatmap_size)
@@ -167,7 +170,8 @@ def main(args: argparse.Namespace):
         transforms_stu=tgt_train_transform_stu, transforms_tea=tgt_train_transform_tea,
         k=args.k, image_size=image_size, heatmap_size=heatmap_size))
     train_target_loader = DataLoader(train_target_dataset, batch_size=local_batch,
-                                     shuffle=True, num_workers=args.workers, drop_last=True)
+                                     shuffle=True, num_workers=args.workers, drop_last=True,
+                                     **part)
     target_dataset = datasets.__dict__[args.target]
     val_target_dataset = target_dataset(root=args.target_root, split="test",
                                         transforms=val_transform,

@@ -40,7 +40,14 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 0, drop_last: bool = False,
                  collate_fn: Optional[Callable] = None, seed: Optional[int] = None,
-                 prefetch_batches: int = 2, pin_memory: bool = False):
+                 prefetch_batches: int = 2, pin_memory: bool = False,
+                 partition: Optional[tuple] = None):
+        """``partition=(rank, world)`` gives torch-DistributedSampler
+        semantics for multi-process data parallelism: every rank draws the
+        IDENTICAL per-epoch permutation from a seed-derived stream (``seed``
+        required) and keeps the disjoint strided slice ``order[rank::world]``
+        — each sample is seen exactly once per epoch across ranks, unlike
+        independent per-rank shuffles which duplicate/drop samples."""
         del pin_memory  # accepted for call-site parity; meaningless here
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,9 +57,26 @@ class DataLoader:
         self.collate_fn = collate_fn or default_collate
         self.prefetch_batches = max(1, prefetch_batches)
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
+        if partition is not None:
+            rank, world = partition
+            if not (0 <= rank < world):
+                raise ValueError(f"bad partition {partition}")
+            if shuffle and seed is None:
+                raise ValueError("partitioned shuffling needs a seed (the "
+                                 "permutation must match across ranks)")
+        self.partition = partition
+
+    def _local_count(self):
+        n = len(self.dataset)
+        if self.partition is None:
+            return n
+        rank, world = self.partition
+        return (n - rank + world - 1) // world  # len(range(rank, n, world))
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -60,8 +84,18 @@ class DataLoader:
     def _batches(self):
         n = len(self.dataset)
         order = np.arange(n)
-        if self.shuffle:
+        if self.partition is not None:
+            rank, world = self.partition
+            if self.shuffle:
+                # identical permutation on every rank, advanced per epoch
+                rng = np.random.default_rng(
+                    int(self._seed or 0) * 1000003 + self._epoch)
+                rng.shuffle(order)
+            self._epoch += 1
+            order = order[rank::world]
+        elif self.shuffle:
             self._rng.shuffle(order)
+        n = len(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
             yield order[start:start + self.batch_size]

@@ -412,7 +412,9 @@ class StyleGate:
 
 
 def _is_primary() -> bool:
-    return jax.process_index() == 0
+    from .parallel import distributed as dist
+
+    return dist.is_primary()
 
 
 def _control_rng(args, epoch):
@@ -858,7 +860,7 @@ def run_validate(eval_step, params, stats, val_loader, args, visualize=None,
             label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
             weight = np.concatenate([weight, np.zeros((pad,) + weight.shape[1:], weight.dtype)])
         if mesh is not None:
-            rows = dist.local_rows(pad_to) if mp else slice(None)
+            rows = dist.local_rows(pad_to, mesh) if mp else slice(None)
             x_d, label_d, weight_d = shard_batch(
                 [x[rows], label[rows], weight[rows]], mesh)
         else:

@@ -17,12 +17,14 @@ Design (the multi-process contract):
   PRNG) must be IDENTICAL across processes — the engine swaps the
   reference's global-np.random draws for a seed-derived private stream when
   ``jax.process_count() > 1`` (same draw structure, process-synchronized);
-- per-sample *data* randomness stays process-distinct, like the
-  reference's unseeded DataLoader workers: loader shuffles use OS entropy
-  (data/loader.py default_rng(None)) and the trainers offset the global
-  random/np.random seeds per rank (seed + rank*10007) so host-transform
-  augmentation streams differ too (dataset split construction re-seeds
-  itself to fixed constants, so splits stay identical across ranks);
+- *data* sampling follows torch-DistributedSampler semantics: the train
+  loaders draw one synchronized per-epoch permutation (seed-derived,
+  identical on every rank — DataLoader(partition=(rank, world))) and each
+  rank keeps its disjoint strided slice, so every sample is seen exactly
+  once per epoch globally; per-sample host-transform augmentation stays
+  process-distinct (the trainers offset the global random/np.random seeds
+  per rank: seed + rank*10007; dataset split construction re-seeds itself
+  to fixed constants, so splits stay identical across ranks);
 - checkpoints/logs/visualization are written by process 0 only; the
   pretrain->adapt ``best_pt`` reload point barriers first and assumes a
   shared filesystem (the standard multi-host TPU setup).
@@ -58,11 +60,15 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
             JAX_PLATFORMS=cpu).
     """
     global _INITIALIZED
+    if _INITIALIZED:  # idempotent: trainers + tests may both call this
+        return
     if platform:
         jax.config.update("jax_platforms", platform)
-    plat = platform or os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in plat:
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # cross-process collectives on the CPU backend need gloo. Platform
+    # selection here is fluid (env var, jax.config, auto-detection — see
+    # CLAUDE.md), so set it unconditionally: it only configures the CPU
+    # client and is inert when the compute backend is TPU.
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -137,13 +143,33 @@ def local_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
-def local_rows(n: int) -> slice:
+def local_rows(n: int, mesh=None) -> slice:
     """This process's contiguous row range of a size-n global batch axis.
 
     Used by validation: every process iterates the full (deterministic)
     val loader and contributes only its slice of each padded batch.
+    With ``mesh``, the split follows the mesh's device order (rows map to
+    devices in order, so this process's rows are the span of its devices'
+    positions); without, an even split over ``jax.process_count()``.
     """
-    per = n // jax.process_count()
+    if mesh is not None:
+        devices = list(mesh.devices.flat)
+        if n % len(devices):
+            raise ValueError(f"batch {n} not divisible by mesh size "
+                             f"{len(devices)}")
+        per = n // len(devices)
+        p = jax.process_index()
+        mine = [i for i, d in enumerate(devices) if d.process_index == p]
+        if not mine:
+            return slice(0, 0)  # this process holds no mesh devices
+        if mine[-1] - mine[0] + 1 != len(mine):
+            raise ValueError("this process's devices are not contiguous in "
+                             "the mesh; cannot form a contiguous row slice")
+        return slice(mine[0] * per, (mine[-1] + 1) * per)
+    count = jax.process_count()
+    if n % count:
+        raise ValueError(f"batch {n} not divisible by {count} processes")
+    per = n // count
     p = jax.process_index()
     return slice(p * per, (p + 1) * per)
 
@@ -151,12 +177,13 @@ def local_rows(n: int) -> slice:
 def host_local(arr) -> np.ndarray:
     """Fetch this process's addressable rows of a (possibly) global array.
 
-    Single-process / fully-addressable (replicated) arrays come back whole;
-    batch-sharded multi-process arrays come back as this process's
+    Single-process / fully-addressable / fully-replicated arrays come back
+    whole; batch-sharded multi-process arrays come back as this process's
     contiguous local rows (process 0's row 0 == global row 0) — enough for
     the engine's row-0 visualization hooks without a cross-host gather.
     """
-    if jax.process_count() == 1 or getattr(arr, "is_fully_addressable", True):
+    if jax.process_count() == 1 or getattr(arr, "is_fully_addressable", True) \
+            or getattr(arr, "is_fully_replicated", False):
         return np.asarray(arr)
     shards = sorted(arr.addressable_shards,
                     key=lambda s: s.index[0].start or 0)

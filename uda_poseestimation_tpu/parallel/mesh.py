@@ -13,6 +13,7 @@ The mesh axis layout leaves room for model axes later (the models here are
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -39,13 +40,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 STACKED_VIEW_KEYS = ("images_t_tea", "aug_params_tea", "targets_tea", "weights_tea")
 
 
+@functools.lru_cache(maxsize=None)
+def _mesh_spans_processes(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def _spans_processes(mesh: Mesh) -> bool:
     """True when the mesh holds devices of more than one process — host
     arrays must then be assembled as global jax.Arrays from process-local
-    shards (see parallel/distributed.py for the multi-process contract)."""
+    shards (see parallel/distributed.py for the multi-process contract).
+    Cached per mesh: shard_batch calls this per pytree leaf per iteration."""
     if jax.process_count() == 1:
         return False
-    return len({d.process_index for d in mesh.devices.flat}) > 1
+    return _mesh_spans_processes(mesh)
 
 
 def _put_global(x, sharding: NamedSharding):
