@@ -21,12 +21,8 @@ B, K, SIZE, HM = 4, 3, 32, 8
 
 
 def free_port() -> int:
-    import socket
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    from uda_poseestimation_tpu.parallel.distributed import free_port as fp
+    return fp()
 
 
 def spawn_workers(n: int, timeout: int = 900):

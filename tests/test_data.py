@@ -347,3 +347,17 @@ def test_loader_rank_partition():
         DataLoader(Ints(), batch_size=2, shuffle=True, partition=(0, 2))
     with pytest.raises(ValueError, match="partition"):
         DataLoader(Ints(), batch_size=2, partition=(2, 2))
+
+    # ragged dataset length: every rank must yield the SAME batch count per
+    # pass (unequal counts would desynchronize the shared permutation via
+    # ForeverDataIterator wrap-around), truncating the odd sample out
+    class Ints23(Ints):
+        def __len__(self):
+            return 23
+
+    ragged = [DataLoader(Ints23(), batch_size=2, shuffle=True, seed=3,
+                         partition=(rank, 2), drop_last=True)
+              for rank in range(2)]
+    r0, r1 = (epoch_indices(ld) for ld in ragged)
+    assert len(r0) == len(r1) == 10 == len(ragged[0]) * 2
+    assert not (set(r0) & set(r1))

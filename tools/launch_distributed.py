@@ -18,18 +18,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import socket
+import os
 import subprocess
 import sys
 import threading
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+from uda_poseestimation_tpu.parallel.distributed import free_port as _free_port
 
 
 def launch(num_processes: int, command: list[str], port: int | None = None,

@@ -109,6 +109,9 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         else args.batch_size
     part = {"partition": (dist.process_index(), dist.process_count()),
             "seed": args.seed} if multiproc else {}
+    # distinct permutation stream per loader: a shared one would freeze the
+    # source<->target sample pairing whenever the dataset lengths match
+    part_tgt = dict(part, seed=args.seed + 7919) if multiproc else {}
 
     train_source_dataset = datasets.__dict__[args.source](
         is_train=True, raw_mode=args.device_aug, **vars(args))
@@ -132,7 +135,7 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
         transforms_tea=tgt_train_transform_tea, **vars(args))
     train_target_loader = DataLoader(target_dataset, batch_size=local_batch,
                                      shuffle=True, num_workers=args.workers, drop_last=True,
-                                     **part)
+                                     **part_tgt)
     val_target_dataset = datasets.__dict__[args.target](is_train=False, **vars(args))
     val_target_loader = DataLoader(val_target_dataset, batch_size=args.test_batch,
                                    shuffle=False, num_workers=args.workers, drop_last=False)
@@ -149,6 +152,13 @@ def main(args: argparse.Namespace, eval_categories=("horse", "tiger")):
     logger.write("Target train: {}".format(len(train_target_loader)))
     logger.write("Source test: {}".format(len(val_source_loader)))
     logger.write("Target test: {}".format(len(val_target_loader)))
+
+    if multiproc and args.seed is not None:
+        # some dataset split constructors reset the global `random` module
+        # to fixed constants (random.seed(42) in human36m/freihand/h3d);
+        # restore the rank-offset stream for per-sample augmentation draws
+        random.seed(host_seed)
+        np.random.seed(host_seed)
 
     train_source_iter = ForeverDataIterator(train_source_loader)
     train_target_iter = ForeverDataIterator(train_target_loader)

@@ -150,6 +150,9 @@ def main(args: argparse.Namespace):
         else args.batch_size
     part = {"partition": (dist.process_index(), dist.process_count()),
             "seed": args.seed} if multiproc else {}
+    # distinct permutation stream per loader: a shared one would freeze the
+    # source<->target sample pairing whenever the dataset lengths match
+    part_tgt = dict(part, seed=args.seed + 7919) if multiproc else {}
 
     source_dataset = datasets.__dict__[args.source]
     train_source_dataset = maybe_cache(
@@ -171,7 +174,7 @@ def main(args: argparse.Namespace):
         k=args.k, image_size=image_size, heatmap_size=heatmap_size))
     train_target_loader = DataLoader(train_target_dataset, batch_size=local_batch,
                                      shuffle=True, num_workers=args.workers, drop_last=True,
-                                     **part)
+                                     **part_tgt)
     target_dataset = datasets.__dict__[args.target]
     val_target_dataset = target_dataset(root=args.target_root, split="test",
                                         transforms=val_transform,
@@ -183,6 +186,13 @@ def main(args: argparse.Namespace):
     logger.write("Target train: {}".format(len(train_target_loader)))
     logger.write("Source test: {}".format(len(val_source_loader)))
     logger.write("Target test: {}".format(len(val_target_loader)))
+
+    if multiproc and args.seed is not None:
+        # some dataset split constructors reset the global `random` module
+        # to fixed constants (random.seed(42) in human36m/freihand/h3d);
+        # restore the rank-offset stream for per-sample augmentation draws
+        random.seed(host_seed)
+        np.random.seed(host_seed)
 
     train_source_iter = ForeverDataIterator(train_source_loader)
     train_target_iter = ForeverDataIterator(train_target_loader)

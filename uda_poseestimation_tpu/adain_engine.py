@@ -79,13 +79,16 @@ def _pick_decoder_mesh(batch_size: int):
     semantics — the content/style losses are plain batch means and the
     encoder/decoder carry no cross-sample state (no BatchNorm)."""
     import jax
-    n = jax.local_device_count()
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    devices = jax.local_devices()  # LOCAL: this trainer is single-process
+    n = len(devices)
     while n > 1 and batch_size % n:
         n -= 1
     if n <= 1:
         return None
-    from .parallel import make_mesh
-    return make_mesh(n)
+    return Mesh(_np.asarray(devices[:n]), ("data",))
 
 
 def save_side_by_side(path, g_t, content, style_img, denormalize):

@@ -46,8 +46,12 @@ class DataLoader:
         semantics for multi-process data parallelism: every rank draws the
         IDENTICAL per-epoch permutation from a seed-derived stream (``seed``
         required) and keeps the disjoint strided slice ``order[rank::world]``
-        — each sample is seen exactly once per epoch across ranks, unlike
-        independent per-rank shuffles which duplicate/drop samples."""
+        truncated to ``len(dataset) // world`` — every rank yields the SAME
+        batch count per pass (ranks advance epochs in lockstep through
+        ForeverDataIterator; unequal counts would desynchronize the shared
+        permutation), at the cost of dropping up to world-1 samples per
+        epoch (torch pads instead). Each kept sample is seen exactly once
+        per epoch across ranks."""
         del pin_memory  # accepted for call-site parity; meaningless here
         self.dataset = dataset
         self.batch_size = batch_size
@@ -72,8 +76,7 @@ class DataLoader:
         n = len(self.dataset)
         if self.partition is None:
             return n
-        rank, world = self.partition
-        return (n - rank + world - 1) // world  # len(range(rank, n, world))
+        return n // self.partition[1]  # identical on every rank
 
     def __len__(self):
         n = self._local_count()
@@ -92,7 +95,7 @@ class DataLoader:
                     int(self._seed or 0) * 1000003 + self._epoch)
                 rng.shuffle(order)
             self._epoch += 1
-            order = order[rank::world]
+            order = order[rank::world][:n // world]
         elif self.shuffle:
             self._rng.shuffle(order)
         n = len(order)

@@ -44,7 +44,19 @@ from typing import Optional
 import jax
 import numpy as np
 
-_INITIALIZED = False
+_INITIALIZED = None
+
+
+def free_port() -> int:
+    """A free localhost TCP port (coordinator-address convenience for
+    single-host multi-process launches: tools/launch_distributed.py and the
+    multi-process tests)."""
+    import socket
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
 
 
 def initialize(coordinator: str, num_processes: int, process_id: int,
@@ -60,7 +72,11 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
             JAX_PLATFORMS=cpu).
     """
     global _INITIALIZED
-    if _INITIALIZED:  # idempotent: trainers + tests may both call this
+    if _INITIALIZED:  # idempotent — but a topology mismatch must fail fast
+        if _INITIALIZED != (coordinator, num_processes, process_id):
+            raise RuntimeError(
+                f"jax.distributed already initialized as {_INITIALIZED}; "
+                f"got {(coordinator, num_processes, process_id)}")
         return
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -72,7 +88,7 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
-    _INITIALIZED = True
+    _INITIALIZED = (coordinator, num_processes, process_id)
 
 
 def add_distributed_args(parser):
