@@ -230,7 +230,17 @@ def draw_labelmap(pt, sigma: float, out_res: int, label_type: str = "Gaussian"):
 
     Returns (map (out_res, out_res), vis_bit). Window-based border rule: the
     whole 6*sigma+1 window must fit inside the map.
+
+    Exact only for INTEGER sigma (every reference config: human 2, animal
+    1). The reference's float-sigma window (util.py:333-334 int() trunc of
+    pt±3σ) is asymmetric and sign-dependent; rather than mimic it subtly
+    wrong, fractional sigma is rejected — use the host pipeline (no
+    --device-aug) there.
     """
+    if float(sigma) != int(sigma):
+        raise NotImplementedError(
+            f"device-side targets support integer sigma only (got {sigma}); "
+            "run without --device-aug for fractional sigma")
     sigma_i = int(sigma)
     tmp = 3 * sigma_i
     pt = pt.astype(jnp.int32)
@@ -410,12 +420,14 @@ def animal_source_apply(params, canvas, pts, center, scale, flip_perm,
     m = jnp.where(affine_on, m, jnp.eye(3, dtype=jnp.float32))
 
     # keypoints: affine (host formula), then zero out-of-frame rows
-    # (synthetic_animal.py:198-199, hardcoded 640/480 bounds)
+    # (synthetic_animal.py:198-199 — the reference hardcodes 640/480, which
+    # IS its frame size; follow the configured frame so non-default frames
+    # don't silently kill in-frame keypoints)
     pts = jnp.asarray(pts, jnp.float32)
     kp_h = jnp.concatenate([pts[:, :2], jnp.ones((pts.shape[0], 1))], axis=1)
     kp_aug = (m @ kp_h.T).T[:, :2]
     pts = pts.at[:, :2].set(kp_aug)
-    oob = (pts[:, 0] < 0) | (pts[:, 1] < 0) | (pts[:, 0] > 640) | (pts[:, 1] > 480)
+    oob = (pts[:, 0] < 0) | (pts[:, 1] < 0) | (pts[:, 0] > w) | (pts[:, 1] > h)
     pts = jnp.where(oob[:, None], 0.0, pts)
 
     # hflip: keypoints use the width-x convention + pair swap
@@ -455,7 +467,12 @@ def animal_source_apply(params, canvas, pts, center, scale, flip_perm,
     img = jnp.where(inside1[..., None], img, 0.0)
 
     # ---- elementwise ops on the crop, in the drawn order -------------------
-    # blur sigma rescaled from frame px to crop px by the crop zoom
+    # blur sigma rescaled from frame px to crop px by the crop zoom.
+    # DEVIATION: the rescaled sigma is clamped to max_blur_sigma because the
+    # blur kernel's support (3*max_blur_sigma taps) is static under jit;
+    # zoom depends on the per-sample bbox, so a zoomed-in crop drawing a
+    # near-max frame sigma is blurred slightly less than the reference
+    # (bounded: only when blur fires AND sigma*zoom > max_blur_sigma).
     zoom = inp / t_h
     blur_sigma = jnp.clip(params["blur_sigma"] * zoom, 0.0, cfg.max_blur_sigma)
 
@@ -573,6 +590,9 @@ def augment_batch(rng, images, keypoints, visible, cfg: DeviceAugConfig,
                         )(view_keys, images, keypoints, visible)
 
     out = jax.vmap(per_view)(keys)
+    if mean is None and std is not None:
+        raise ValueError("std given without mean; pass mean=[0,0,0] for "
+                         "scale-only normalization")
     if mean is not None:
         m = jnp.asarray(mean, jnp.float32)
         s = jnp.asarray(std if std is not None else [1.0, 1.0, 1.0], jnp.float32)

@@ -660,6 +660,12 @@ class PretrainStepBundler:
     arrays, state chains through the scan carry, per-iteration metrics come
     back stacked, and jitted bundles are cached per bundle size.
 
+    NOTE: deliberately mirrors AdaptStepBundler's orchestration (cache
+    dict / scan wrapper / n-inference) rather than sharing a generic base —
+    the two differ in step arity and gate structure, and keeping each
+    flat-and-obvious was chosen over a parameterized abstraction. A fix to
+    one bundler's orchestration almost certainly applies to the other.
+
     ``view_builder(raw_batch, rng, do_s2t)`` (from
     DeviceAugPipeline.pretrain_view_builder / the animal twin) generates the
     source views in-step from raw uint8 canvases; the style image is built
