@@ -108,15 +108,23 @@ def test_animal_device_twins_match_host():
             host = host_transform(pts[i], c, s, [16, 16])
             np.testing.assert_array_equal(dev[i], host)
 
-    for label_type in ("Gaussian", "Cauchy"):
-        for _ in range(20):
-            pt = rng.randint(-5, 20, 2)
-            host_map, host_vis = draw_labelmap_ori(np.zeros((16, 16), np.float32),
-                                                   pt.astype(np.float32), 1,
-                                                   label_type=label_type)
-            dev_map, dev_vis = draw_labelmap(jnp.asarray(pt), 1.0, 16, label_type)
-            assert float(dev_vis) == host_vis
-            np.testing.assert_allclose(np.asarray(dev_map), host_map, atol=2e-6)
+    # sigma=1.5: the fractional-sigma paste (--sigma is a float flag in
+    # train_animal) — e.g. pt=4 is visible with its center shifted to 5
+    for sigma in (1.0, 1.5):
+        for label_type in ("Gaussian", "Cauchy"):
+            for _ in range(20):
+                pt = rng.randint(-5, 20, 2)
+                host_map, host_vis = draw_labelmap_ori(
+                    np.zeros((16, 16), np.float32), pt.astype(np.float32),
+                    sigma, label_type=label_type)
+                dev_map, dev_vis = draw_labelmap(jnp.asarray(pt), sigma, 16,
+                                                 label_type)
+                assert float(dev_vis) == host_vis
+                np.testing.assert_allclose(np.asarray(dev_map), host_map,
+                                           atol=2e-6)
+    # pin the σ=1.5 pt=4 shifted-center quirk explicitly (matches reference)
+    qmap, qvis = draw_labelmap(jnp.asarray(np.array([4, 8])), 1.5, 16)
+    assert float(qvis) == 1.0 and int(np.asarray(qmap)[8].argmax()) == 5
 
 
 def test_animal_augment_batch_shapes():

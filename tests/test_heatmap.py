@@ -80,7 +80,11 @@ def oracle_rectify(hm, sigma):
 
 def test_generate_target_matches_oracle():
     rng = np.random.RandomState(0)
-    for sigma, img, hm in [(2, (256, 256), (64, 64)), (1, (256, 256), (64, 64)), (2, (256, 256), (8, 8))]:
+    # fractional sigma exercises the trunc-based paste-window quirks
+    # (10-wide window for sigma=1.5, center shifted near the low border)
+    for sigma, img, hm in [(2, (256, 256), (64, 64)), (1, (256, 256), (64, 64)),
+                           (2, (256, 256), (8, 8)), (1.5, (256, 256), (64, 64)),
+                           (1.5, (64, 64), (16, 16))]:
         kp = rng.uniform(-60, 320, size=(21, 2)).astype(np.float32)
         vis = (rng.rand(21, 1) > 0.3).astype(np.float32)
         ref_t, ref_w = oracle_generate_target(kp, vis, hm, sigma, img)
@@ -117,7 +121,7 @@ def test_get_max_preds():
 
 def test_rectify_matches_oracle():
     rng = np.random.RandomState(3)
-    for sigma in (1, 2):
+    for sigma in (1, 2, 1.5):
         hm = rng.rand(2, 6, 64, 64).astype(np.float32)
         hm[0, 1] *= -1.0  # all-negative channel
         ref = oracle_rectify(hm, sigma)

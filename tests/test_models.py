@@ -229,9 +229,27 @@ def test_coral_loss_matches_torch():
     tmp_t = torch.ones((1, n)) @ t
     ct = (t.T @ t - (tmp_t.T @ tmp_t) / n) / (n - 1)
     ref = ((cs - ct).pow(2).sum().sqrt() / (4 * (c * h * w) ** 2)).item()
-    with jax.default_matmul_precision("float32"):
-        got = float(L.coral_loss(jnp.asarray(src), jnp.asarray(tgt)))
+    # no precision context: coral_loss itself must request f32 matmuls
+    # (TPU default truncates to bf16; the cs-ct subtraction is catastrophic)
+    got = float(L.coral_loss(jnp.asarray(src), jnp.asarray(tgt)))
     assert abs(ref - got) / max(abs(ref), 1e-12) < 1e-4
+
+    # coral_downsample > 1: torch F.interpolate(bilinear) point-samples
+    # (no antialias) — full-path oracle via the reference's formula
+    import torch.nn.functional as tF
+    ds = 2
+    s4 = tF.interpolate(torch.tensor(src), scale_factor=1 / ds, mode="bilinear")
+    t4 = tF.interpolate(torch.tensor(tgt), scale_factor=1 / ds, mode="bilinear")
+    n2, c2, h2, w2 = t4.shape
+    s2, t2 = s4.reshape(n2, -1), t4.reshape(n2, -1)
+    tmp_s = torch.ones((1, n2)) @ s2
+    cs2 = (s2.T @ s2 - (tmp_s.T @ tmp_s) / n2) / (n2 - 1)
+    tmp_t = torch.ones((1, n2)) @ t2
+    ct2 = (t2.T @ t2 - (tmp_t.T @ tmp_t) / n2) / (n2 - 1)
+    ref2 = ((cs2 - ct2).pow(2).sum().sqrt() / (4 * (c2 * h2 * w2) ** 2)).item()
+    got2 = float(L.coral_loss(jnp.asarray(src), jnp.asarray(tgt),
+                              coral_downsample=ds))
+    assert abs(ref2 - got2) / max(abs(ref2), 1e-12) < 1e-4
 
 
 def test_ema_update():

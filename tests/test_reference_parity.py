@@ -69,8 +69,10 @@ def test_pck_accuracy_matches_reference(ref_kpd):
 def test_generate_target_matches_reference(ref_util):
     from uda_poseestimation_tpu.data.util import generate_target
     rng = np.random.RandomState(1)
+    # sigma=1.5 pins the fractional-sigma paste-window quirks against the
+    # reference's own code (trunc'd ul/br, size//2 patch peak)
     for sigma, hm, im in [(2, (64, 64), (256, 256)), (1, (16, 16), (64, 64)),
-                          (2, (8, 8), (256, 256))]:
+                          (2, (8, 8), (256, 256)), (1.5, (64, 64), (256, 256))]:
         kp = rng.uniform(-80, 340, (21, 2)).astype(np.float32)
         vis = (rng.rand(21, 1) > 0.3).astype(np.float32)
         r_t, r_w = ref_util.generate_target(kp, vis, hm, sigma, im)
@@ -100,15 +102,18 @@ def test_mpii_transform_matches_reference(ref_util):
 def test_draw_labelmap_matches_reference(ref_util):
     from uda_poseestimation_tpu.data.util import draw_labelmap_ori
     rng = np.random.RandomState(3)
-    for label_type in ("Gaussian", "Cauchy"):
-        for _ in range(20):
-            pt = rng.uniform(-10, 74, 2).astype(np.float32)
-            ref_img, ref_vis = ref_util.draw_labelmap_ori(
-                torch.zeros(64, 64), torch.tensor(pt), 2, type=label_type)
-            our_img, our_vis = draw_labelmap_ori(np.zeros((64, 64), np.float32),
-                                                 pt, 2, label_type=label_type)
-            assert our_vis == ref_vis
-            np.testing.assert_allclose(our_img, ref_img.numpy(), atol=1e-6)
+    # sigma=1.5 exercises the fractional-sigma trunc quirks (shifted paste
+    # center near the low border, 10-wide window)
+    for sigma in (2, 1.5):
+        for label_type in ("Gaussian", "Cauchy"):
+            for _ in range(20):
+                pt = rng.uniform(-10, 74, 2).astype(np.float32)
+                ref_img, ref_vis = ref_util.draw_labelmap_ori(
+                    torch.zeros(64, 64), torch.tensor(pt), sigma, type=label_type)
+                our_img, our_vis = draw_labelmap_ori(np.zeros((64, 64), np.float32),
+                                                     pt, sigma, label_type=label_type)
+                assert our_vis == ref_vis
+                np.testing.assert_allclose(our_img, ref_img.numpy(), atol=1e-6)
 
 
 def test_shufflelr_matches_reference(ref_util):
@@ -158,7 +163,29 @@ def test_losses_match_reference(ref_loss):
 def test_rectify_matches_reference(ref_trainer_utils):
     from uda_poseestimation_tpu.ops import rectify
     rng = np.random.RandomState(6)
-    hm = rng.rand(3, 7, 64, 64).astype(np.float32)
+    for sigma in (2, 1.5):  # fractional sigma: trunc'd paste window quirks
+        hm = rng.rand(3, 7, 64, 64).astype(np.float32)
+        ref_out = ref_trainer_utils.rectify(torch.tensor(hm), sigma=sigma).numpy()
+        our_out = np.asarray(rectify(jnp.asarray(hm), sigma))
+        np.testing.assert_allclose(our_out, ref_out, atol=5e-6)
+
+
+def test_rectify_matches_reference_borders(ref_trainer_utils):
+    """Peaks forced near every border so all four paste-clip paths fire.
+
+    Note the reference's swapped clip quirk (x range clipped at h, y at w;
+    utils.py:101-105) makes its own rectify RAISE on non-square maps
+    (g-range/img-range shape mismatch in the paste), so square maps — where
+    the quirk is benign — are the entire usable parity surface.
+    """
+    from uda_poseestimation_tpu.ops import rectify
+    rng = np.random.RandomState(7)
+    hm = rng.rand(2, 5, 64, 64).astype(np.float32)
+    hm[0, 0, 5, 62] = 2.0
+    hm[0, 1, 2, 30] = 2.0
+    hm[1, 2, 61, 33] = 2.0
+    hm[1, 3, 40, 1] = 2.0
+    hm[1, 4, 0, 0] = 2.0
     ref_out = ref_trainer_utils.rectify(torch.tensor(hm), sigma=2).numpy()
     our_out = np.asarray(rectify(jnp.asarray(hm), 2))
     np.testing.assert_allclose(our_out, ref_out, atol=5e-6)

@@ -45,13 +45,24 @@ def generate_target(joints, joints_vis, heatmap_size, sigma, image_size):
     in_bounds = (mu_x >= 0) & (mu_x < w) & (mu_y >= 0) & (mu_y < h)
     weight = np.where(in_bounds, joints_vis, 0.0).astype(np.float32)
 
+    # Reference paste-window math (util.py:42-68), exact incl. fractional
+    # sigma: ul = int(mu - 3σ), br = int(mu + 3σ + 1) (python int() truncates
+    # toward zero), a (2*3σ+1)-sized patch whose peak sits at index size//2,
+    # pasted over [max(0, ul), min(br, bound)). For integer sigma this
+    # reduces to a |d| <= 3σ window centered at mu.
+    tmp = 3.0 * sigma
+    x0 = float((2.0 * tmp + 1.0) // 2)
     xs = np.arange(w, dtype=np.float32)[None, None, :]
     ys = np.arange(h, dtype=np.float32)[None, :, None]
-    dx = xs - mu_x[:, None, None]
-    dy = ys - mu_y[:, None, None]
-    tmp = 3.0 * sigma
+    ul_x = np.trunc(mu_x - tmp)[:, None, None]
+    ul_y = np.trunc(mu_y - tmp)[:, None, None]
+    br_x = np.trunc(mu_x + tmp + 1.0)[:, None, None]
+    br_y = np.trunc(mu_y + tmp + 1.0)[:, None, None]
+    dx = xs - (ul_x + x0)
+    dy = ys - (ul_y + x0)
     g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma ** 2))
-    g *= (np.abs(dx) <= tmp) & (np.abs(dy) <= tmp)
+    g *= ((xs >= ul_x) & (xs < np.minimum(br_x, w))
+          & (ys >= ul_y) & (ys < np.minimum(br_y, h)))
     target = np.where((weight > 0.5)[:, None, None], g, 0.0).astype(np.float32)
     return target, weight[:, None]
 

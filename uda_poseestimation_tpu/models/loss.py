@@ -21,6 +21,8 @@ parity per SURVEY.md §2.2.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -119,8 +121,13 @@ def coral_loss(src_out, tgt_out, coral_downsample: int = 1, prior=None):
     tgt = tgt_out.reshape(n, -1)
 
     def cov(x):
-        tmp = jnp.ones((1, n), x.dtype) @ x
-        return (x.T @ x - (tmp.T @ tmp) / n) / (n - 1)
+        # parity-critical matmuls: JAX's default TPU matmul precision
+        # truncates operands to bf16; the covariance difference below
+        # subtracts two nearly-equal large matrices, so full f32 is required
+        # to stay within the torch oracle's tolerance (see CLAUDE.md)
+        mm = functools.partial(jnp.matmul, precision="float32")
+        tmp = mm(jnp.ones((1, n), x.dtype), x)
+        return (mm(x.T, x) - mm(tmp.T, tmp) / n) / (n - 1)
 
     if prior is not None:
         cs = prior
@@ -137,5 +144,9 @@ def _bilinear_downsample(x, factor: int):
     n, c, h, w = x.shape
     new_h, new_w = int(h / factor), int(w / factor)
     img = jnp.transpose(x, (0, 2, 3, 1))
-    img = jax.image.resize(img, (n, new_h, new_w, c), method="bilinear")
+    # antialias=False: torch F.interpolate(mode='bilinear') point-samples a
+    # 2x2 neighborhood at half-pixel centers; jax's default antialias=True
+    # would widen the filter on downsampling and diverge from the reference
+    img = jax.image.resize(img, (n, new_h, new_w, c), method="bilinear",
+                           antialias=False)
     return jnp.transpose(img, (0, 3, 1, 2))

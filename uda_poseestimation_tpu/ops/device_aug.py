@@ -229,34 +229,37 @@ def draw_labelmap(pt, sigma: float, out_res: int, label_type: str = "Gaussian"):
     """Device twin of data.util.draw_labelmap_ori for one integer point.
 
     Returns (map (out_res, out_res), vis_bit). Window-based border rule: the
-    whole 6*sigma+1 window must fit inside the map.
+    whole paste window must fit inside the map.
 
-    Exact only for INTEGER sigma (every reference config: human 2, animal
-    1). The reference's float-sigma window (util.py:333-334 int() trunc of
-    pt±3σ) is asymmetric and sign-dependent; rather than mimic it subtly
-    wrong, fractional sigma is rejected — use the host pipeline (no
-    --device-aug) there.
+    Exact for ANY sigma, reproducing the reference's fractional-sigma quirks
+    (util.py:333-347): ``ul = int(pt - 3σ)`` / ``br = int(pt + 3σ + 1)``
+    via python int() truncation-toward-zero, and a ``6σ+1``-sized patch
+    whose peak sits at index ``size // 2`` — so the pasted center is
+    ``ul + size//2``, which equals ``pt`` for integer sigma but shifts by
+    the truncation asymmetry for fractional sigma (e.g. σ=1.5, pt=4:
+    ul=trunc(-0.5)=0, center=5). --sigma is a float flag in train_animal
+    (reference train_animal.py:558), so this path is user-reachable.
     """
-    if float(sigma) != int(sigma):
-        raise NotImplementedError(
-            f"device-side targets support integer sigma only (got {sigma}); "
-            "run without --device-aug for fractional sigma")
-    sigma_i = int(sigma)
-    tmp = 3 * sigma_i
-    pt = pt.astype(jnp.int32)
-    ul_x, ul_y = pt[0] - tmp, pt[1] - tmp
-    br_x, br_y = pt[0] + tmp + 1, pt[1] + tmp + 1
+    sig = float(sigma)
+    tmp = 3.0 * sig
+    # patch peak index: (6σ+1) // 2 with python float floor-div semantics
+    x0 = float((6.0 * sig + 1.0) // 2)
+    ptf = pt.astype(jnp.float32)
+    ul_x = jnp.trunc(ptf[0] - tmp)  # python int(): trunc toward zero
+    ul_y = jnp.trunc(ptf[1] - tmp)
+    br_x = jnp.trunc(ptf[0] + tmp + 1.0)
+    br_y = jnp.trunc(ptf[1] + tmp + 1.0)
     vis = jnp.logical_not((br_x >= out_res) | (br_y >= out_res)
                           | (ul_x < 0) | (ul_y < 0))
     ys = jax.lax.broadcasted_iota(jnp.int32, (out_res, out_res), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (out_res, out_res), 1)
-    dx = (xs - pt[0]).astype(jnp.float32)
-    dy = (ys - pt[1]).astype(jnp.float32)
+    dx = xs.astype(jnp.float32) - (ul_x + x0)
+    dy = ys.astype(jnp.float32) - (ul_y + x0)
     if label_type == "Gaussian":
-        g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma ** 2))
+        g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sig ** 2))
     else:  # Cauchy
-        g = sigma / ((dx * dx + dy * dy + sigma ** 2) ** 1.5)
-    window = (jnp.abs(xs - pt[0]) <= tmp) & (jnp.abs(ys - pt[1]) <= tmp)
+        g = sig / ((dx * dx + dy * dy + sig ** 2) ** 1.5)
+    window = ((xs >= ul_x) & (xs < br_x) & (ys >= ul_y) & (ys < br_y))
     g = jnp.where(window & vis, g, 0.0)
     return g.astype(jnp.float32), vis.astype(jnp.float32)
 

@@ -32,32 +32,55 @@ def _center_grid(height: int, width: int, dtype=jnp.float32):
     return ys, xs
 
 
-def render_gaussian(mu_x, mu_y, sigma: float, heatmap_size, windowed: bool = True):
+def render_gaussian(mu_x, mu_y, sigma: float, heatmap_size, windowed: bool = True,
+                    clip_xy=None):
     """Render unit-peak Gaussians centered at integer coords (mu_x, mu_y).
+
+    Reproduces the reference renderers' paste-a-patch math EXACTLY,
+    including the fractional-sigma quirks (lib/datasets/util.py:42-68,
+    utils.py:87-107): ``ul = int(mu - 3σ)`` / ``br = int(mu + 3σ + 1)``
+    via python int() truncation-toward-zero, a patch of size ``2*3σ+1``
+    whose peak sits at index ``size // 2`` — so the rendered center is
+    ``ul + size//2``, which equals ``mu`` for integer sigma but shifts by
+    the truncation near borders for fractional sigma — pasted over
+    ``[max(0, ul), min(br, bound))``.
 
     Args:
         mu_x, mu_y: float arrays of shape (...,) — integer-valued centers.
-        sigma: scalar Gaussian sigma.
+        sigma: scalar Gaussian sigma (static).
         heatmap_size: (W, H) of the output maps.
         windowed: if True, zero everything outside the reference's
-            [mu - 3*sigma, mu + 3*sigma] square window (matching the
-            copy-into-window behavior of the reference renderers).
+            [ul, br) paste window (matching the copy-into-window behavior
+            of the reference renderers).
+        clip_xy: optional (x_bound, y_bound) overriding the paste-window
+            clip bounds — reference ``rectify`` clips the x range at h and
+            the y range at w (swapped; utils.py:101-105), benign on square
+            maps but reproduced for bit parity.
 
     Returns:
         float32 array of shape (..., H, W).
     """
     w, h = int(heatmap_size[0]), int(heatmap_size[1])
     tmp_size = 3.0 * sigma
+    # patch peak index: size // 2 of the reference's 2*3σ+1 patch (float
+    # floor-div like python); == 3σ for integer sigma
+    x0 = float((2.0 * tmp_size + 1.0) // 2)
     ys, xs = _center_grid(h, w)
     mu_x = mu_x[..., None, None]
     mu_y = mu_y[..., None, None]
-    dx = xs - mu_x
-    dy = ys - mu_y
+    ul_x = jnp.trunc(mu_x - tmp_size)  # python int(): trunc toward zero
+    ul_y = jnp.trunc(mu_y - tmp_size)
+    cx = ul_x + x0
+    cy = ul_y + x0
+    dx = xs - cx
+    dy = ys - cy
     g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
     if windowed:
-        # Reference renders into [ul, br) = [mu - 3s, mu + 3s + 1): the window
-        # includes offsets in {-3s, ..., +3s}.
-        inside = (jnp.abs(dx) <= tmp_size) & (jnp.abs(dy) <= tmp_size)
+        br_x = jnp.trunc(mu_x + tmp_size + 1.0)
+        br_y = jnp.trunc(mu_y + tmp_size + 1.0)
+        clip_x, clip_y = clip_xy if clip_xy is not None else (w, h)
+        inside = ((xs >= ul_x) & (xs < jnp.minimum(br_x, clip_x))
+                  & (ys >= ul_y) & (ys < jnp.minimum(br_y, clip_y)))
         g = jnp.where(inside, g, 0.0)
     return g.astype(jnp.float32)
 
@@ -180,7 +203,9 @@ def rectify(heatmaps, sigma: float):
     preds, _ = get_max_preds(heatmaps)
     mu_x = preds[..., 0]
     mu_y = preds[..., 1]
-    # Reference quirk: bounds check compares mu_x against h and mu_y against w.
+    # Reference quirk: bounds check compares mu_x against h and mu_y against w,
+    # and the paste window clips the x range at h / the y range at w too
+    # (utils.py:89,101-105) — benign on square maps, reproduced for parity.
     ok = (mu_x >= 0) & (mu_x < h) & (mu_y >= 0) & (mu_y < w)
-    g = render_gaussian(mu_x, mu_y, sigma, (w, h))
+    g = render_gaussian(mu_x, mu_y, sigma, (w, h), clip_xy=(h, w))
     return jnp.where(ok[..., None, None], g, 0.0).astype(jnp.float32)
