@@ -189,3 +189,58 @@ def test_cache_composes_with_loader():
     b2 = next(iter(loader))
     np.testing.assert_allclose(b2[0], b1[0], atol=2e-3)
     assert base.calls == 3
+
+
+def _materialize(loader):
+    out = []
+    for batch in loader:
+        out.append(batch)
+    return out
+
+
+def test_pool_loader_matches_sequential():
+    """num_workers>1 (ordered thread pool) yields the EXACT batch stream of
+    the sequential loader: same seeded shuffle order, same batch contents,
+    partial final batch included."""
+    base = CountingDataset(n=10)
+    seq = DataLoader(base, batch_size=3, shuffle=True, seed=7, num_workers=0)
+    pool = DataLoader(base, batch_size=3, shuffle=True, seed=7, num_workers=3)
+    ref = _materialize(seq)
+    got = _materialize(pool)
+    assert len(got) == len(ref) == 4
+    for (c1, k1, m1), (c2, k2, m2) in zip(ref, got):
+        np.testing.assert_array_equal(c2, c1)
+        np.testing.assert_array_equal(k2, k1)
+        np.testing.assert_array_equal(m2["index"], m1["index"])
+
+
+def test_pool_loader_partitioned_ranks_disjoint():
+    """Pool workers + partition=(rank, world): both ranks shuffle with the
+    shared permutation, keep disjoint strided slices, and the pool preserves
+    the rank's batch order across epochs (the ForeverDataIterator lockstep
+    contract)."""
+    base = CountingDataset(n=9)
+    loaders = [DataLoader(base, batch_size=2, shuffle=True, seed=3,
+                          num_workers=2, partition=(r, 2)) for r in (0, 1)]
+    epoch = [_materialize(ld) for ld in loaders]
+    idx = [np.concatenate([b[2]["index"] for b in e]) for e in epoch]
+    assert len(idx[0]) == len(idx[1]) == 4  # 9 // 2 per rank
+    assert not set(idx[0]) & set(idx[1])  # disjoint
+    # second pass advances the shared permutation identically on both ranks
+    epoch2 = [_materialize(ld) for ld in loaders]
+    idx2 = [np.concatenate([b[2]["index"] for b in e]) for e in epoch2]
+    assert not set(idx2[0]) & set(idx2[1])
+
+
+def test_pool_loader_propagates_worker_errors():
+    class Exploding(CountingDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("decode failed")
+            return super().__getitem__(i)
+
+    loader = DataLoader(Exploding(n=8), batch_size=2, shuffle=False,
+                        num_workers=3)
+    import pytest
+    with pytest.raises(RuntimeError, match="decode failed"):
+        _materialize(loader)

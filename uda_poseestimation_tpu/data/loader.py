@@ -111,7 +111,12 @@ class DataLoader:
             for idxs in self._batches():
                 yield self._load_batch(idxs)
             return
+        if self.num_workers == 1:
+            yield from self._iter_single_producer()
+            return
+        yield from self._iter_pool()
 
+    def _iter_single_producer(self):
         q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
 
@@ -129,6 +134,35 @@ class DataLoader:
             if item is sentinel:
                 break
             yield item
+
+    def _iter_pool(self):
+        """N-worker ordered prefetch — the torch ``num_workers`` analog.
+
+        Workers are THREADS, not processes: the expensive per-sample work
+        (PIL decode/resize, numpy stacking) releases the GIL, so a pool
+        scales on many-core hosts, while worker processes would have to
+        re-pickle datasets and are fork-unsafe once a JAX backend client
+        exists in the parent. Batch order is deterministic (an in-order
+        window of futures); as with torch's multi-worker loaders, datasets
+        whose transforms draw from global host RNG see an interleaved draw
+        order across concurrent batches — the canonical --device-aug
+        pipelines are deterministic per index and unaffected.
+        """
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers + self.prefetch_batches
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            batches = self._batches()
+            pending = deque(pool.submit(self._load_batch, idxs)
+                            for idxs in itertools.islice(batches, window))
+            for idxs in batches:
+                out = pending.popleft().result()
+                pending.append(pool.submit(self._load_batch, idxs))
+                yield out
+            while pending:
+                yield pending.popleft().result()
 
 
 class _U8Canvas:
