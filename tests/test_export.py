@@ -60,3 +60,35 @@ def test_export_symbolic_batch(tiny_model):
         hm, preds, maxvals = restored.call(x)
         assert hm.shape[0] == b and preds.shape == (b, K, 2)
         assert np.isfinite(np.asarray(hm)).all()
+
+
+def test_export_cli_from_trainer_checkpoint(tmp_path, capsys):
+    """The CLI path end to end: a trainer-written (torch-pickle) checkpoint
+    -> tools/export_inference.main() -> serialized artifact whose --selfcheck
+    compares the deserialized call against a direct forward. Covers
+    load_variables (load_checkpoint + filtered_update merge of the teacher
+    entry) and the argparse surface."""
+    from tools.export_inference import main
+    from uda_poseestimation_tpu.models import pose_resnet50
+    from uda_poseestimation_tpu.utils.checkpoint import save_checkpoint
+
+    model = pose_resnet50(num_keypoints=K, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(
+        jax.random.PRNGKey(2))
+    entry = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    ckpt = str(tmp_path / "best.pth")
+    save_checkpoint(ckpt, {"student": entry, "teacher": entry, "epoch": 0})
+
+    out = str(tmp_path / "model.jaxexp")
+    main([ckpt, out, "--arch", "pose_resnet50", "--num-keypoints", str(K),
+          "--image-size", str(SIZE), "--platforms", "cpu", "--selfcheck"])
+    stdout = capsys.readouterr().out
+    assert "selfcheck ok" in stdout, stdout[-2000:]
+
+    restored = jax.export.deserialize(open(out, "rb").read())
+    hm, preds, _ = restored.call(
+        np.random.RandomState(3).rand(2, SIZE, SIZE, 3).astype(np.float32))
+    # heatmaps follow the reference's (B, K, H, W) layout
+    assert hm.shape == (2, K, SIZE // 4, SIZE // 4) and preds.shape == (2, K, 2)
