@@ -88,6 +88,34 @@ def test_train_debug_then_phase_test(rhd_root, tmp_path, capsys):
     assert test_imgs, "phase test visualizes the target validation pass"
 
 
+def test_train_two_phase_handoff(rhd_root, tmp_path):
+    """Both phases through train_human.main(): the pretrain epoch validates
+    the STUDENT and checkpoints ``best_pt``; at ``epoch == pretrain_epoch``
+    main() reloads best_pt into student AND teacher before adaptation
+    (reference train_human.py:244-257, 302); epoch summaries must appear for
+    both epochs in one log."""
+    from train_human import main
+
+    log_dir = str(tmp_path / "logs" / "twophase")
+    main(_args(rhd_root, log_dir,
+               ["--epochs", "2", "--pretrain-epoch", "1"]))
+
+    root = log_dir + "_pose_resnet50"
+    txts = glob.glob(os.path.join(root, "train-*.txt"))
+    assert txts
+    text = open(txts[0]).read()
+    for ep in (0, 1):
+        assert re.search(r"Epoch: %d Source: \d+\.\d+ Target: \d+\.\d+ "
+                         r"Target\(best\): \d+\.\d+" % ep, text), text[-3000:]
+    ckpts = glob.glob(os.path.join(
+        root.replace("logs", "checkpoints"), "checkpoints_*", "best_pt.pth"))
+    assert ckpts, ("pretrain epoch must write best_pt.pth "
+                   "(seed-dependent: bump the seed in _args if this fires)")
+    import torch
+    sd = torch.load(ckpts[0], map_location="cpu", weights_only=False)
+    assert sd["epoch"] == 0 and "student" in sd and "teacher" in sd
+
+
 def test_train_resume(rhd_root, tmp_path):
     """--resume restores student/teacher/optimizer AND the epoch counter
     (reference train_human.py:206-224: start_epoch = checkpoint['epoch']+1) —
@@ -111,6 +139,100 @@ def test_train_resume(rhd_root, tmp_path):
     assert re.search(r"Epoch: 1 Source: \d+\.\d+", text), text[-2000:]
     # epoch 0 was NOT re-run in the resumed process
     assert not re.search(r"Epoch: 0 Source:", text), text[-2000:]
+
+
+def test_adain_cli_human(rhd_root, tmp_path, monkeypatch):
+    """adain/train/train_human.py main(): the CLI wiring that only main()
+    owns — source/target dataset construction with the AdaIN transform
+    stacks, the hardcoded batch_size=4 human pair (reference adain/train/
+    train_human.py:166-176), the mt 8-tuple teacher-view extraction
+    (``tgt[4][0]``), the ../saved_models vgg fallback path, and the engine's
+    log/PNG/checkpoint layout rooted at the CWD."""
+    from adain.train.train_human import build_parser, main
+
+    monkeypatch.chdir(tmp_path)
+    argv = ["--source", "RenderedHandPose", "--target", "RenderedHandPose_mt",
+            "--source_root", rhd_root, "--target_root", rhd_root,
+            "--vgg", str(tmp_path / "missing_vgg.pth"),  # random-encoder fallback
+            "--image-size", "64", "--heatmap-size", "16",
+            "--max_iter", "2", "--save_model_interval", "2",
+            "--log_img_interval", "1", "--exp_name", "smoke"]
+    main(build_parser().parse_args(argv))
+
+    log = tmp_path / "logs" / "smoke" / "log_smoke.txt"
+    assert log.exists()
+    lines = log.read_text().strip().splitlines()
+    assert len(lines) == 2 and all(
+        re.match(r"iter: \d+, decoder_loss: [\d.e+-]+, content loss: "
+                 r"[\d.e+-]+, style loss: [\d.e+-]+", ln) for ln in lines), lines
+    pngs = glob.glob(str(tmp_path / "logs" / "smoke" / "save_imgs"
+                         / "save_img_smoke" / "*.png"))
+    assert pngs, "log_img_interval=1 must dump side-by-side PNGs"
+    import torch
+    ckpt = tmp_path / "logs" / "smoke" / "saved_model" / "decoder_smoke.pth.tar"
+    sd = torch.load(str(ckpt), map_location="cpu")
+    assert any(k.endswith(".weight") for k in sd), list(sd)[:5]
+
+
+def _animal_argv(root, log_dir):
+    return ["--source", "synthetic_animal_sp_all", "--target", "real_animal_all",
+            "--target_ssl", "real_animal_all_mt",
+            "--image-path", os.path.join(root, "animal_data"),
+            "--animal", "all", "--train_on_all_cat",
+            "--image-size", "64", "--heatmap-size", "16",
+            "--inp-res", "64", "--out-res", "16",
+            "-a", "pose_resnet50", "-b", "8", "--test-batch", "8",
+            "-p", "1", "--val-print-freq", "1", "--seed", "0",
+            "--log", log_dir]
+
+
+def test_animal_train_full_two_phase(tmp_path, monkeypatch):
+    """train_animal.main() through BOTH phases at CLI level: a pretrain epoch
+    (the on-device synthetic source pipeline under --device-aug) that writes
+    ``best_pt``, the ``epoch == pretrain_epoch`` handoff that reloads it into
+    student AND teacher (reference train_animal.py:150-156), then a
+    mean-teacher adaptation epoch — plus the per-epoch summary contract with
+    per-category eval (``Source .. Target .. Horse .. Tiger .. Target(best)``,
+    reference train_animal.py:173-190) for BOTH epochs. The adapt-only and
+    evaluate-only branches are covered by the other tests in this file."""
+    from train_animal import build_parser, main
+
+    root = str(tmp_path / "animal")
+    make_animal(root)
+    monkeypatch.setenv("UDA_CACHED_DATA_DIR", os.path.join(root, "cached_data"))
+    log_dir = str(tmp_path / "logs" / "animal_full")
+    # enough supervised progress that target-'all' PCK clears 0 and best_pt
+    # exists for the handoff (probed: 40 iters at lr 3e-4 on the blob fixture
+    # reach target 'all'=0.019; fewer iterations leave it at exactly 0 and
+    # the reference-parity acc>best save rule then writes nothing);
+    # decode-cache memoizes the raw source decode across the 80 iterations
+    argv = _animal_argv(root, log_dir) + [
+        "--epochs", "2", "--pretrain-epoch", "1", "-i", "40", "--lr", "3e-4",
+        "-p", "10", "--decode-cache", "1", "--device-aug"]
+    main(build_parser().parse_args(argv))
+
+    root_log = log_dir + "_pose_resnet50"
+    txts = glob.glob(os.path.join(root_log, "train-*.txt"))
+    assert txts
+    text = open(txts[0]).read()
+    # both epochs logged the animal summary line (epoch 0 = pretrain,
+    # epoch 1 = adaptation after the best_pt reload)
+    for ep in (0, 1):
+        assert re.search(
+            r"Epoch: %d Source: \d+\.\d+ Target: \d+\.\d+ "
+            r"Horse: \d+\.\d+ Tiger: \d+\.\d+ Target\(best\): \d+\.\d+" % ep,
+            text), text[-3000:]
+    # per-category group blocks for every epoch's eval
+    assert re.search(r"^Horse:$", text, re.M) and re.search(r"^Tiger:$", text, re.M)
+    # the pretrain phase wrote best_pt (consumed by the handoff) as a
+    # torch-readable checkpoint; adaptation may or may not beat it
+    ckpts = glob.glob(os.path.join(
+        root_log.replace("logs", "checkpoints"), "checkpoints_*", "best_pt.pth"))
+    assert ckpts, ("pretrain epoch must write best_pt.pth "
+                   "(seed-dependent: bump --seed/-i if this fires)")
+    import torch
+    sd = torch.load(ckpts[0], map_location="cpu", weights_only=False)
+    assert sd["epoch"] == 0 and "student" in sd and "teacher" in sd
 
 
 def test_animal_phase_test(tmp_path, monkeypatch):
