@@ -97,8 +97,13 @@ def test_train_two_phase_handoff(rhd_root, tmp_path):
     from train_human import main
 
     log_dir = str(tmp_path / "logs" / "twophase")
+    # enough supervised progress that target PCK clears 0 and best_pt exists
+    # for the handoff (the reference-parity acc>best save rule writes nothing
+    # at exactly 0, and the epoch==pretrain_epoch reload then crashes exactly
+    # like the reference would with no best_pt on disk)
     main(_args(rhd_root, log_dir,
-               ["--epochs", "2", "--pretrain-epoch", "1"]))
+               ["--epochs", "2", "--pretrain-epoch", "1",
+                "-i", "30", "--lr", "3e-4", "-p", "10"]))
 
     root = log_dir + "_pose_resnet50"
     txts = glob.glob(os.path.join(root, "train-*.txt"))
