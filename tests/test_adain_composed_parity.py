@@ -34,7 +34,10 @@ from tools.port_torch_weights import convert_decoder, convert_vgg_encoder
 from uda_poseestimation_tpu.adain_engine import make_decoder_step
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
+    pytest.mark.slow,  # torch-oracle decoder training steps (fast lane skips)
+]
 
 B, IMG = 2, 64
 CW, SW, LR = 1.0, 0.5, 1e-2

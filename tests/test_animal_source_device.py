@@ -246,6 +246,7 @@ def test_batch_runs_and_normalizes():
         np.asarray(out["image"]).mean())  # smoke: values exist
 
 
+@pytest.mark.slow  # bundled epoch run (fast lane skips)
 def test_animal_bundled_adapt_epoch():
     """--steps-per-dispatch through the ANIMAL pipeline: host-stacked raw
     batches (uint8 source canvases + float target canvases + center/scale

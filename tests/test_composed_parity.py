@@ -42,7 +42,10 @@ from uda_poseestimation_tpu.parallel import StepConfig, make_adapt_step
 from uda_poseestimation_tpu.parallel.train_step import UDAState, make_tx
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
+    pytest.mark.slow,  # full-model torch-oracle iterations (fast lane skips)
+]
 
 B = 2
 K = 2

@@ -22,7 +22,10 @@ carry ~2x margin over calibrated runs.
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # multi-minute convergence runs (fast lane skips)
 
 from uda_poseestimation_tpu.models.pose_resnet import PoseResNet
 from uda_poseestimation_tpu.models import resnet as resnet_lib

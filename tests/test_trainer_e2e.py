@@ -25,6 +25,8 @@ import pytest
 
 from tools.make_fixtures import make_animal, make_rhd
 
+pytestmark = pytest.mark.slow  # full trainer e2e runs (fast lane skips)
+
 
 @pytest.fixture(scope="module")
 def rhd_root(tmp_path_factory):
