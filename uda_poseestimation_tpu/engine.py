@@ -222,6 +222,18 @@ class DeviceAugPipeline(_DeviceAugBase):
 
         return build
 
+    def pretrain_style_template(self, raw_batch):
+        """{style leaf: (shape, dtype)} for zero placeholders on non-fired
+        s2t iterations of the bundled pretrain (data-order contract: the
+        target stream is consumed ONLY on fired draws, like the unbundled
+        loop; the in-step style compute is lax.cond-gated so the zeros are
+        never read). Derived from the source leaves — source and target
+        canvases share the canonical canvas grid and keypoint count."""
+        return {"canvas_t": (raw_batch["canvas_s"].shape,
+                             raw_batch["canvas_s"].dtype),
+                "kp_t": (raw_batch["kp_s"].shape, np.float32),
+                "vis_t": (raw_batch["vis_s"].shape, np.float32)}
+
     def raw_target(self, tgt_tuple):
         canvas = tgt_tuple[0]
         meta = tgt_tuple[3]
@@ -261,6 +273,7 @@ class AnimalDeviceAugPipeline(_DeviceAugBase):
         self.rng = jax.random.PRNGKey(seed)
         self._n = 0
         self.src_cfg = src_cfg
+        self._image_size = cfg_stu.image_size
         self._flip_perm = (np.asarray(flip_perm, np.int32)
                            if flip_perm is not None else None)
         self._src_mean = src_mean
@@ -331,6 +344,14 @@ class AnimalDeviceAugPipeline(_DeviceAugBase):
         if tgt_tuple is not None:
             batch["image_t_style"] = np.asarray(tgt_tuple[4][0], np.float32)
         return batch
+
+    def pretrain_style_template(self, raw_batch):
+        """Zero-placeholder spec for non-fired s2t bundle iterations (see
+        DeviceAugPipeline.pretrain_style_template). The animal style image
+        is the host-normalized identity teacher view at image size."""
+        b = raw_batch["canvas_s"].shape[0]
+        return {"image_t_style": ((b, self._image_size, self._image_size, 3),
+                                  np.float32)}
 
     def pretrain_view_builder(self, style_enabled: bool):
         """In-step source-view builder for PretrainStepBundler (the animal
@@ -438,10 +459,12 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
 
     With ``bundler`` (a PretrainStepBundler) and ``args.steps_per_dispatch
     > 1`` the epoch scans n iterations per dispatch, exactly like
-    run_adapt_epoch's bundled mode. In bundled+style mode a target batch is
-    fetched every iteration (the unbundled loop fetches only on fired s2t
-    draws) — bundles are pre-staged, so the fetch can't wait for the draw;
-    the style COMPUTE stays gated on the per-iteration ``do_s2t``."""
+    run_adapt_epoch's bundled mode. Data-order contract (round 5): bundled
+    and unbundled pretrain consume IDENTICAL source/target/gate streams —
+    the target loader is advanced only on fired s2t draws in both modes
+    (reference train_human.py:267-276); non-fired bundle slots carry zero
+    style placeholders that the lax.cond-gated style compute never reads
+    (tests/test_engine_loops.py::test_bundled_pretrain_target_stream_contract)."""
     batch_time = AverageMeter("Time", ":4.2f")
     data_time = AverageMeter("Data", ":3.1f")
     losses_all = AverageMeter("Loss (all)", ":.4e")
@@ -458,7 +481,11 @@ def run_pretrain_epoch(state, style_params, pretrain_step, mesh, source_iter,
     n_bundle = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
     if n_bundle > 1 and bundler is not None:
         if base_rng is None:
-            base_rng = jax.random.PRNGKey(ctrl.randint(0, 2 ** 31 - 1))
+            # Derived WITHOUT consuming from ctrl: the unbundled pretrain
+            # loop draws nothing here, so a ctrl.randint would shift the s2t
+            # gate stream by one draw between modes (data-order contract).
+            seed = (getattr(args, "seed", 0) or 0)
+            base_rng = jax.random.PRNGKey((seed * 1000003 + epoch) % 2 ** 31)
         return _run_pretrain_epoch_bundled(
             state, style_params, bundler, mesh, source_iter, target_iter,
             epoch, lr, args, gate, style_enabled, base_rng, device_aug,
@@ -548,6 +575,7 @@ def _run_pretrain_epoch_bundled(state, style_params, bundler, mesh,
     """n-iterations-per-dispatch pretrain epoch (see run_pretrain_epoch)."""
     (batch_time, data_time, losses_all, losses_s, acc_s) = meters
     batch_size = None
+    style_tpl = None  # {style leaf: (shape, dtype)} once known
     end = time.time()
     pending = None
 
@@ -568,19 +596,52 @@ def _run_pretrain_epoch_bundled(state, style_params, bundler, mesh,
     i = 0
     while i < args.iters_per_epoch:
         n_sub = min(n_bundle, args.iters_per_epoch - i)
-        host_batches, gates = [], []
+        # Data-order contract (matches the unbundled loop and the reference,
+        # train_human.py:267-276): per iteration, fetch source -> draw the
+        # s2t gate -> fetch a target batch ONLY if the gate fired. Non-fired
+        # iterations get zero style placeholders (never read: the in-step
+        # style compute is lax.cond-gated on do_s2t), so bundled and
+        # unbundled pretrain consume identical source/target/gate streams.
+        host_batches, gates, needs_tpl = [], [], []
         for _j in range(n_sub):
             src = next(source_iter)
-            tgt = next(target_iter) if style_enabled else None
+            g = gate.draw()
+            fired = style_enabled and bool(g[0])
+            tgt = next(target_iter) if fired else None
             if device_aug is not None:
-                host_batches.append(device_aug.raw_pretrain_batch(src, tgt))
+                b = device_aug.raw_pretrain_batch(src, tgt)
             else:
                 x_s, label_s, weight_s, _meta = src
                 style_img = (np.asarray(tgt[4][0], np.float32)
-                             if style_enabled else None)
-                host_batches.append(
-                    make_source_batch(x_s, label_s, weight_s, style_img))
-            gates.append(gate.draw())
+                             if fired else None)
+                b = make_source_batch(x_s, label_s, weight_s, style_img)
+                if style_enabled and not fired:
+                    # same zeros the unbundled loop feeds on non-fired draws
+                    b["image_t_style"] = np.zeros_like(b["image_s"])
+            host_batches.append(b)
+            gates.append(g)
+            needs_tpl.append(style_enabled and not fired
+                             and device_aug is not None)
+        if style_enabled and device_aug is not None:
+            if style_tpl is None or any(needs_tpl):
+                # placeholder spec: from a real fetched batch when one exists
+                # (exact shapes/dtypes), else the pipeline's derivation
+                fired_b = next(
+                    (b for b, g in zip(host_batches, gates)
+                     if style_enabled and bool(g[0])), None)
+                if fired_b is not None:
+                    spec = device_aug.pretrain_style_template(fired_b)
+                    style_tpl = {k: ((np.asarray(fired_b[k]).shape,
+                                      np.asarray(fired_b[k]).dtype)
+                                     if k in fired_b else v)
+                                 for k, v in spec.items()}
+                elif style_tpl is None:
+                    style_tpl = device_aug.pretrain_style_template(
+                        host_batches[0])
+            zeros = {k: np.zeros(s, d) for k, (s, d) in style_tpl.items()}
+            for b, m in zip(host_batches, needs_tpl):
+                if m:
+                    b.update(zeros)
         stacked = jax.tree_util.tree_map(_stack_host_leaves, *host_batches)
         if batch_size is None:
             batch_size = jax.tree_util.tree_leaves(stacked)[0].shape[1]
