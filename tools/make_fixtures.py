@@ -19,14 +19,27 @@ import numpy as np
 from PIL import Image
 
 
-def make_rhd(root, n_train=96, n_eval=16, size=320):
+def _shift_domain(img, xx, yy):
+    """Strong appearance shift, geometry preserved — the fixture twin of a
+    synthetic->real domain gap (VERDICT r4 item 2): gamma curve, contrast
+    squeeze, color cast, and a structured stripe texture. Keypoint blobs
+    stay at their locations with their channel identities, so the task is
+    unchanged; only the image statistics move."""
+    img = img ** 1.7                                   # gamma
+    img = 0.28 + 0.5 * img                             # contrast squeeze
+    img = img + np.array([0.13, -0.07, 0.05], np.float32)  # color cast
+    img = img + 0.10 * np.sin((xx + 0.5 * yy) / 9.0)[..., None]  # texture
+    return img
+
+
+def make_rhd(root, n_train=96, n_eval=16, size=320, shift=False):
     base = os.path.join(root, "RHD_published_v2")
     for set_name, n, seed in (("training", n_train, 0), ("evaluation", n_eval, 1)):
         color = os.path.join(base, set_name, "color")
         mask = os.path.join(base, set_name, "mask")
         os.makedirs(color, exist_ok=True)
         os.makedirs(mask, exist_ok=True)
-        rng = np.random.RandomState(seed)
+        rng = np.random.RandomState(seed + (10 if shift else 0))
         anno = {}
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
         for i in range(n):
@@ -35,6 +48,8 @@ def make_rhd(root, n_train=96, n_eval=16, size=320):
             for j in range(21):
                 g = np.exp(-((xx - kp[j, 0]) ** 2 + (yy - kp[j, 1]) ** 2) / (2 * 6.0 ** 2))
                 img[..., j % 3] += g
+            if shift:
+                img = _shift_domain(img, xx, yy)
             img = np.clip(img, 0, 1)
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(color, "%.5d.png" % i))
@@ -188,6 +203,10 @@ if __name__ == "__main__":
     kind = sys.argv[1] if len(sys.argv) > 1 else "rhd"
     if kind == "rhd":
         make_rhd(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_rhd")
+    elif kind == "rhd_shifted":
+        # domain-shifted target twin for adaptation-gain drives
+        make_rhd(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_rhd_shifted",
+                 shift=True)
     elif kind == "animal":
         make_animal(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_animal")
     elif kind == "style":
