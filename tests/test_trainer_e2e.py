@@ -103,9 +103,15 @@ def test_train_two_phase_handoff(rhd_root, tmp_path):
     # for the handoff (the reference-parity acc>best save rule writes nothing
     # at exactly 0, and the epoch==pretrain_epoch reload then crashes exactly
     # like the reference would with no best_pt on disk)
-    main(_args(rhd_root, log_dir,
-               ["--epochs", "2", "--pretrain-epoch", "1",
-                "-i", "30", "--lr", "3e-4", "-p", "10"]))
+    try:
+        main(_args(rhd_root, log_dir,
+                   ["--epochs", "2", "--pretrain-epoch", "1",
+                    "-i", "30", "--lr", "3e-4", "-p", "10"]))
+    except FileNotFoundError as e:  # the handoff's best_pt load (see above)
+        pytest.fail(
+            "two-phase handoff found no best_pt — pretrain target PCK "
+            "stayed exactly 0 under this numerics environment "
+            f"(seed-dependent: bump the seed or -i in _args): {e}")
 
     root = log_dir + "_pose_resnet50"
     txts = glob.glob(os.path.join(root, "train-*.txt"))
