@@ -34,6 +34,13 @@ _STEM_MODE = os.environ.get("UDA_STEM_MODE",
                             "s2d" if os.environ.get("UDA_STEM_S2D") == "1"
                             else "direct")
 
+# Fused 1x1-conv + BN-stats probe (ops/bn_fuse.py, VERDICT r4 item 3):
+# train-mode bottleneck 1x1 convs compute their BatchNorm batch statistics
+# in the matmul's Pallas epilogue instead of a separate reduction pass.
+# Single-chip probe (pallas_call does not partition under GSPMD); default
+# per the PERF.md full-step A/B.
+_BN_FUSE = os.environ.get("UDA_BN_FUSE") == "1"
+
 
 class StemConv(nn.Module):
     """The 7x7/stride-2 stem conv, with three exact evaluation modes.
@@ -111,6 +118,7 @@ class BasicBlock(nn.Module):
     expansion: int = 1
     groups: int = 1
     base_width: int = 64
+    fuse_bn: bool = False  # accepted for ctor uniformity; 3x3-only block
 
     @nn.compact
     def __call__(self, x):
@@ -139,27 +147,45 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     groups: int = 1
     base_width: int = 64
+    # fused 1x1-conv+BN-stats probe (see _BN_FUSE); only the TRAIN path is
+    # rerouted — the variable tree is identical either way
+    fuse_bn: bool = False
+
+    def _conv_bn_1x1(self, z, feats, cname, bname, strides=1):
+        """conv1x1(name=cname) -> BN(name=bname), fused or plain."""
+        nkw = getattr(self.norm, "keywords", {})
+        if self.fuse_bn and nkw.get("use_running_average") is False:
+            from .fused_bn import Conv1x1Stats, StatsBatchNorm
+            ckw = getattr(self.conv, "keywords", {})
+            y, mean, var = Conv1x1Stats(
+                feats, strides=strides, dtype=ckw.get("dtype", jnp.float32),
+                name=cname)(z)
+            return StatsBatchNorm(
+                use_running_average=False,
+                momentum=nkw.get("momentum", 0.99),
+                epsilon=nkw.get("epsilon", 1e-5),
+                dtype=nkw.get("dtype"), name=bname)(y, mean, var)
+        y = self.conv(feats, (1, 1), strides=(strides, strides),
+                      use_bias=False, name=cname)(z)
+        return self.norm(name=bname)(y)
 
     @nn.compact
     def __call__(self, x):
         # torchvision v1: width = filters * base_width/64 * groups; stride on 3x3
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
         identity = x
-        y = self.conv(width, (1, 1), use_bias=False, name="conv1")(x)
-        y = self.norm(name="bn1")(y)
+        y = self._conv_bn_1x1(x, width, "conv1", "bn1")
         y = nn.relu(y)
         y = self.conv(width, (3, 3), strides=(self.strides, self.strides),
                       padding=((1, 1), (1, 1)), feature_group_count=self.groups,
                       use_bias=False, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
-        y = self.norm(name="bn3")(y)
+        y = self._conv_bn_1x1(y, self.filters * self.expansion, "conv3", "bn3")
         if self.downsample:
-            identity = self.conv(self.filters * self.expansion, (1, 1),
-                                 strides=(self.strides, self.strides),
-                                 use_bias=False, name="downsample_conv")(x)
-            identity = self.norm(name="downsample_bn")(identity)
+            identity = self._conv_bn_1x1(
+                x, self.filters * self.expansion, "downsample_conv",
+                "downsample_bn", strides=self.strides)
         return nn.relu(y + identity)
 
 
@@ -173,6 +199,8 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     # stem evaluation mode (exact reformulations; see StemConv)
     stem_mode: str = _STEM_MODE
+    # fused 1x1-conv+BN-stats probe (see _BN_FUSE / ops/bn_fuse.py)
+    fuse_bn: bool = _BN_FUSE
 
     @property
     def out_features(self) -> int:
@@ -200,6 +228,7 @@ class ResNet(nn.Module):
                 x = self.block(filters=filters, strides=strides, downsample=downsample,
                                conv=conv, norm=norm, groups=self.groups,
                                base_width=self.width_per_group,
+                               fuse_bn=self.fuse_bn,
                                name=f"layer{stage + 1}_{i}")(x)
             filters *= 2
         return x
