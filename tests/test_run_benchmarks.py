@@ -125,3 +125,23 @@ def test_harness_end_to_end_on_fixture(tmp_path, monkeypatch):
     assert "all" in res["final_groups"]
     saved = json.load(open(tmp_path / "res.json"))
     assert "FIXTURE" in saved["results"] and "table" in saved
+
+
+def test_gain_drive_parser(tmp_path):
+    """tools/run_gain_drive.py parses the epoch-summary log contract
+    (train_human.py:385) and reports the adaptation-phase delta."""
+    from tools import run_gain_drive as gd
+
+    adapt = tmp_path / "adapt"
+    ctl = tmp_path / "control"
+    adapt.mkdir(), ctl.mkdir()
+    (adapt / "train-x.txt").write_text(
+        "Epoch: 0 Source: 0.100 Target: 0.080 Target(best): 0.080\n"
+        "all: 0.080\n"
+        "Epoch: 1 Source: 0.300 Target: 0.250 Target(best): 0.250\n")
+    (ctl / "train-y.txt").write_text(
+        "Epoch: 0 Source: 0.100 Target: 0.080 Target(best): 0.080\n"
+        "Epoch: 1 Source: 0.350 Target: 0.120 Target(best): 0.120\n")
+    assert gd.parse_curve(str(adapt)) == [(0, 0.1, 0.08), (1, 0.3, 0.25)]
+    a, c = gd.report(str(adapt), str(ctl), pretrain_epoch=1)
+    assert len(a) == 2 and len(c) == 2
