@@ -32,6 +32,24 @@ def _shift_domain(img, xx, yy):
     return img
 
 
+def _shift_domain_hard(img, xx, yy):
+    """Harder shift variant (``rhd_shifted_hard``): MULTIPLICATIVE
+    multi-orientation texture on top of the global curves. Unlike the
+    additive/global v1 shift this is outside the span of the canonical
+    ColorJitter augmentation (which rescales blob and background together);
+    combined with the SNR-reduced blobs rendered by
+    ``make_rhd(shift="hard")`` it produced a gap that source-only training
+    still partially bridges while the mean-teacher loop starts to drift on
+    the low-SNR pseudo-labels — both outcomes recorded in PERF.md
+    (round-5 adaptation-gain drives)."""
+    img = img ** 1.5                                   # gamma
+    img = 0.24 + 0.6 * img                             # contrast squeeze
+    img = img + np.array([0.10, -0.06, 0.04], np.float32)  # color cast
+    tex = (0.62 + 0.38 * np.sin((xx + 0.5 * yy) / 7.0)
+           * np.sin((yy - 0.7 * xx) / 11.0))
+    return img * tex[..., None]                        # local modulation
+
+
 def make_rhd(root, n_train=96, n_eval=16, size=320, shift=False):
     base = os.path.join(root, "RHD_published_v2")
     for set_name, n, seed in (("training", n_train, 0), ("evaluation", n_eval, 1)):
@@ -42,13 +60,19 @@ def make_rhd(root, n_train=96, n_eval=16, size=320, shift=False):
         rng = np.random.RandomState(seed + (10 if shift else 0))
         anno = {}
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        # "hard" also changes the OBJECT appearance: dimmer, broader blobs
+        # over a busier background — an SNR reduction no global jitter can
+        # mimic (jitter rescales blob and background together)
+        amp, sig, bg = (0.62, 8.0, 0.34) if shift == "hard" else (1.0, 6.0, 0.15)
         for i in range(n):
             kp = rng.uniform(60, size - 60, (21, 2)).astype(np.float32)
-            img = rng.rand(size, size, 3).astype(np.float32) * 0.15
+            img = rng.rand(size, size, 3).astype(np.float32) * bg
             for j in range(21):
-                g = np.exp(-((xx - kp[j, 0]) ** 2 + (yy - kp[j, 1]) ** 2) / (2 * 6.0 ** 2))
-                img[..., j % 3] += g
-            if shift:
+                g = np.exp(-((xx - kp[j, 0]) ** 2 + (yy - kp[j, 1]) ** 2) / (2 * sig ** 2))
+                img[..., j % 3] += amp * g
+            if shift == "hard":
+                img = _shift_domain_hard(img, xx, yy)
+            elif shift:
                 img = _shift_domain(img, xx, yy)
             img = np.clip(img, 0, 1)
             Image.fromarray((img * 255).astype(np.uint8)).save(
@@ -207,6 +231,11 @@ if __name__ == "__main__":
         # domain-shifted target twin for adaptation-gain drives
         make_rhd(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_rhd_shifted",
                  shift=True)
+    elif kind == "rhd_shifted_hard":
+        # harder shift (multiplicative texture + SNR-reduced blobs); see
+        # _shift_domain_hard and the PERF.md round-5 gain-drive notes
+        make_rhd(sys.argv[2] if len(sys.argv) > 2
+                 else "/tmp/fake_rhd_shifted_hard", shift="hard")
     elif kind == "animal":
         make_animal(sys.argv[2] if len(sys.argv) > 2 else "/tmp/fake_animal")
     elif kind == "style":
