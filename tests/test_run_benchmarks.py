@@ -135,7 +135,11 @@ def test_gain_drive_parser(tmp_path):
     adapt = tmp_path / "adapt"
     ctl = tmp_path / "control"
     adapt.mkdir(), ctl.mkdir()
-    (adapt / "train-x.txt").write_text(
+    # stale log from an earlier/killed run: must be ignored (latest only)
+    (adapt / "train-2026-01-01-00_00_00.txt").write_text(
+        "Epoch: 0 Source: 0.900 Target: 0.900 Target(best): 0.900\n"
+        "Epoch: 5 Source: 0.900 Target: 0.900 Target(best): 0.900\n")
+    (adapt / "train-2026-01-02-00_00_00.txt").write_text(
         "Epoch: 0 Source: 0.100 Target: 0.080 Target(best): 0.080\n"
         "all: 0.080\n"
         "Epoch: 1 Source: 0.300 Target: 0.250 Target(best): 0.250\n")
@@ -145,3 +149,5 @@ def test_gain_drive_parser(tmp_path):
     assert gd.parse_curve(str(adapt)) == [(0, 0.1, 0.08), (1, 0.3, 0.25)]
     a, c = gd.report(str(adapt), str(ctl), pretrain_epoch=1)
     assert len(a) == 2 and len(c) == 2
+    with pytest.raises(SystemExit):
+        gd.report(str(tmp_path / "nope"), str(ctl), pretrain_epoch=1)

@@ -6,9 +6,13 @@ testbed, so the demonstration uses the fixture pair from
 ``tools/make_fixtures.py``:
 
 - source: ``rhd`` (clean blob-learnable RHD clone)
-- target: ``rhd_shifted`` — the same task under a strong appearance shift
-  (gamma curve, contrast squeeze, color cast, stripe texture), i.e. a
-  synthetic->"real" domain gap with identical geometry/labels.
+- target: ``rhd_shifted`` — the same blob-detection task under a strong
+  appearance shift (gamma curve, contrast squeeze, color cast, stripe
+  texture). Keypoints are drawn from the same distribution but are NOT
+  image-paired with the source set (different RNG stream), matching how a
+  real target domain relates to a synthetic source. ``--shift hard`` uses
+  the ``rhd_shifted_hard`` variant instead (multiplicative texture +
+  SNR-reduced blobs; see PERF.md for both variants' measured outcomes).
 
 Two drives at the canonical deployed config (pose_resnet101, 256^2, b=32,
 --device-aug --decode-cache 2 --steps-per-dispatch 8, seed 0):
@@ -18,8 +22,8 @@ Two drives at the canonical deployed config (pose_resnet101, 256^2, b=32,
 2. ``control`` — the SAME schedule kept in pretrain (source-only) for all
                  epochs: what happens to target PCK without adaptation.
 
-Gain = (adapt run's target-'all' PCK in the adaptation phase) vs (the
-control's target PCK over the same epochs). Curves land in PERF.md.
+Gain = (adapt run's target-'all' PCK in the adaptation phase) vs both the
+frozen-pretrain level and the control's curve. Curves land in PERF.md.
 
 Usage:
     python tools/run_gain_drive.py run [--epochs 8 --pretrain-epoch 3 -i 75]
@@ -27,8 +31,10 @@ Usage:
 
 ``run`` regenerates the fixtures, executes both drives sequentially
 (sequential: the 1-core testbed cannot feed two canonical drives), then
-parses. ``parse`` re-reads existing ``train-*.txt`` logs (epoch-summary
-line contract, train_human.py:385).
+parses. ``parse`` re-reads an existing pair of CompleteLogger directories
+(the ``<log>_<arch>`` dirs holding ``train-*.txt``; epoch-summary line
+contract, train_human.py:385 — parsed with tools/run_benchmarks.py's
+regex, LATEST log file per directory only).
 """
 
 from __future__ import annotations
@@ -36,29 +42,35 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-EPOCH_RE = re.compile(r"Epoch: (\d+) Source: ([\d.]+) Target: ([\d.]+) "
-                      r"Target\(best\): ([\d.]+)")
+from tools.run_benchmarks import _EPOCH_RE  # single source for the contract
 
 
 def parse_curve(log_dir: str):
-    """-> sorted [(epoch, source_pck, target_pck)] from train-*.txt."""
+    """-> sorted [(epoch, source_pck, target_pck)] from the LATEST
+    train-*.txt in ``log_dir`` (CompleteLogger keeps one per invocation;
+    stale files from earlier/killed runs must not leak into the curve)."""
+    txts = sorted(glob.glob(os.path.join(log_dir, "train-*.txt")))
+    if not txts:
+        return []
     rows = {}
-    for txt in glob.glob(os.path.join(log_dir, "train-*.txt")):
-        for m in EPOCH_RE.finditer(open(txt).read()):
-            e = int(m.group(1))
-            rows[e] = (float(m.group(2)), float(m.group(3)))
+    for m in _EPOCH_RE.finditer(open(txts[-1]).read()):
+        rows[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
     return [(e,) + rows[e] for e in sorted(rows)]
 
 
 def report(adapt_dir: str, control_dir: str, pretrain_epoch: int):
     a = parse_curve(adapt_dir)
     c = parse_curve(control_dir)
+    if not a or not c:
+        raise SystemExit(f"no epoch-summary lines found (adapt={adapt_dir}: "
+                         f"{len(a)} rows, control={control_dir}: {len(c)} "
+                         f"rows) — pass the CompleteLogger <log>_<arch> dirs")
     print(f"{'epoch':>5} {'phase':>8} {'adapt tgt':>9} {'control tgt':>11} "
           f"{'delta':>7}")
     cd = {e: t for e, _, t in c}
@@ -95,7 +107,10 @@ def drive_cmd(args, log, pretrain_epoch):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("mode", choices=["run", "parse"])
-    p.add_argument("dirs", nargs="*", help="parse: adapt_dir control_dir")
+    p.add_argument("dirs", nargs="*",
+                   help="parse: <adapt>_<arch> and <control>_<arch> dirs")
+    p.add_argument("--shift", choices=["v1", "hard"], default="v1",
+                   help="which rhd_shifted fixture variant to (re)generate")
     p.add_argument("--source-root", default="/tmp/fake_rhd")
     p.add_argument("--target-root", default="/tmp/fake_rhd_shifted")
     p.add_argument("--log-root", default="/tmp/drive_gain")
@@ -108,20 +123,23 @@ def main():
     args = p.parse_args()
 
     if args.mode == "parse":
-        adapt_dir, control_dir = args.dirs
-        report(adapt_dir, control_dir, args.pretrain_epoch)
+        if len(args.dirs) != 2:
+            p.error("parse needs exactly two dirs: <adapt_log_dir> "
+                    "<control_log_dir> (the <log>_<arch> directories)")
+        report(args.dirs[0], args.dirs[1], args.pretrain_epoch)
         return
 
     mk = os.path.join(REPO, "tools", "make_fixtures.py")
+    kind = {"v1": "rhd_shifted", "hard": "rhd_shifted_hard"}[args.shift]
     subprocess.run([sys.executable, mk, "rhd", args.source_root], check=True)
-    subprocess.run([sys.executable, mk, "rhd_shifted", args.target_root],
-                   check=True)
+    subprocess.run([sys.executable, mk, kind, args.target_root], check=True)
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR=os.environ.get(
                    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache"))
     for name, pe in (("adapt", args.pretrain_epoch), ("control", args.epochs)):
         log = os.path.join(args.log_root, name)
-        print(f"=== drive: {name} (pretrain-epoch {pe}) -> {log}", flush=True)
+        print(f"=== drive: {name} (pretrain-epoch {pe}) -> "
+              f"{log}_{args.arch}", flush=True)
         subprocess.run(drive_cmd(args, log, pe), check=True, env=env,
                        cwd=REPO)
     report(os.path.join(args.log_root, f"adapt_{args.arch}"),
