@@ -131,6 +131,8 @@ def main(argv=None):
           f"({len(blob) / 1e6:.1f} MB)")
 
     if args.selfcheck:
+        import jax.numpy as jnp
+
         re = jax.export.deserialize(open(args.out, "rb").read())
         x = np.random.RandomState(0).rand(
             2, args.image_size, args.image_size, 3).astype(np.float32)
@@ -138,10 +140,41 @@ def main(argv=None):
         fn = build_inference_fn(model)
         ref_hm, ref_preds, _ = jax.jit(fn)(variables["params"],
                                            variables["batch_stats"], x)
-        np.testing.assert_allclose(np.asarray(hm), np.asarray(ref_hm),
-                                   atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(preds), np.asarray(ref_preds))
-        print(f"selfcheck ok: heatmaps {tuple(hm.shape)}, preds match")
+        # The deserialized StableHLO program and the fresh jit are SEPARATE
+        # compilations: XLA fuses them differently, so a bf16 model agrees
+        # to bf16 precision, not bitwise (measured ~1e-4 abs on TPU).
+        # f32 models keep the tight tolerance.
+        tight = getattr(model, "dtype", jnp.bfloat16) == jnp.float32
+        # (atol: a few bf16 ulps at heatmap magnitude — measured max 2.6e-3
+        # single-element outlier on a TPU export of a trained rn101)
+        np.testing.assert_allclose(
+            np.asarray(hm), np.asarray(ref_hm),
+            rtol=0 if tight else 2e-2, atol=1e-5 if tight else 4e-3)
+        # The argmax decode can legitimately flip between the two
+        # compilations wherever two peaks sit within the bf16 noise floor
+        # (on these random selfcheck inputs near-flat heatmaps make ties
+        # common). Require exact agreement only where the reference top-2
+        # margin clearly exceeds the heatmap tolerance...
+        ref = np.asarray(ref_hm)
+        flat = ref.reshape(ref.shape[0], ref.shape[1], -1)
+        top2 = np.partition(flat, -2, axis=-1)[..., -2:]
+        decisive = (top2[..., 1] - top2[..., 0]) > (2e-5 if tight else 8e-3)
+        eq = (np.asarray(preds) == np.asarray(ref_preds)).all(axis=-1)
+        if (decisive & ~eq).any():
+            raise AssertionError(
+                f"exported preds disagree on {(decisive & ~eq).sum()} "
+                f"decisively-peaked keypoints")
+        # ...and that the artifact's decode is self-consistent: its preds
+        # must equal the reference argmax decode of its own heatmaps
+        # (ties break to the lowest index on every platform).
+        from uda_poseestimation_tpu.ops.heatmap import get_max_preds
+        own_preds, _ = jax.jit(get_max_preds)(jnp.asarray(np.asarray(hm)))
+        np.testing.assert_array_equal(np.asarray(preds),
+                                      np.asarray(own_preds))
+        same = float(eq.mean())
+        print(f"selfcheck ok: heatmaps {tuple(hm.shape)}, preds "
+              f"self-consistent, {same:.1%} equal "
+              f"({int(decisive.sum())} decisive, all equal)")
 
 
 if __name__ == "__main__":
