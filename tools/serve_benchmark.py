@@ -18,7 +18,13 @@ timed loop is a genuine serial chain.
 Usage:
     python tools/serve_benchmark.py [--arch pose_resnet101] [--batch 64]
         [--image-size 256] [--reps 30] [--checkpoint CKPT]
+        [--artifact OUT.jaxexp]  # benchmark a pre-exported artifact as-is
         [--platform cpu|tpu]  # default: whatever jax picks (axon=TPU here)
+
+With ``--artifact`` the file is deserialized and driven directly (nothing
+is rebuilt or re-exported — exactly what a serving process loads);
+``--arch``/``--checkpoint`` are ignored and the batch/image-size must be
+compatible with the artifact's input spec (batch is symbolic by default).
 
 Prints one JSON line: {"metric", "value", "unit", "batch", "ms_per_batch"}.
 """
@@ -47,6 +53,10 @@ def main(argv=None):
                         "torch); omitted -> random init (throughput is "
                         "weight-independent)")
     p.add_argument("--which", default="teacher")
+    p.add_argument("--artifact", default=None,
+                   help="pre-exported .jaxexp file to benchmark as-is "
+                        "(skips model build + export; --arch/--checkpoint "
+                        "are ignored)")
     p.add_argument("--platform", default=None,
                    help="force the jax platform (e.g. 'cpu' for the test "
                         "lane); default lets jax pick (axon -> real TPU)")
@@ -73,7 +83,12 @@ def main(argv=None):
     say(f"backend={jax.default_backend()} devices={len(jax.devices())}")
     S, K = args.image_size, args.num_keypoints
 
-    if args.checkpoint:
+    if args.artifact:
+        blob = open(args.artifact, "rb").read()
+        re_exported = jax.export.deserialize(blob)
+        label = os.path.basename(args.artifact)
+        say(f"artifact {label} ({len(blob) / 1e6:.1f} MB)")
+    elif args.checkpoint:
         model, variables = load_variables(args.checkpoint, args.arch, K, S,
                                           args.which)
     else:
@@ -85,14 +100,17 @@ def main(argv=None):
         variables = jax.jit(lambda r: model.init(r, xi, train=False))(
             jax.random.PRNGKey(0))
 
-    # lower only for the platform we will run on: the artifact is what a
-    # serving process would deserialize for this chip type
-    platform = {"axon": "tpu"}.get(jax.default_backend(), jax.default_backend())
-    say(f"exporting ({platform})")
-    exported = export_model(model, variables, S, [platform])
-    blob = exported.serialize()
-    re_exported = jax.export.deserialize(blob)
-    say(f"artifact {len(blob) / 1e6:.1f} MB")
+    if not args.artifact:
+        # lower only for the platform we will run on: the artifact is what
+        # a serving process would deserialize for this chip type
+        platform = {"axon": "tpu"}.get(jax.default_backend(),
+                                       jax.default_backend())
+        say(f"exporting ({platform})")
+        exported = export_model(model, variables, S, [platform])
+        blob = exported.serialize()
+        re_exported = jax.export.deserialize(blob)
+        label = args.arch
+        say(f"artifact {len(blob) / 1e6:.1f} MB")
 
     x0 = jnp.asarray(np.random.RandomState(0).rand(args.batch, S, S, 3),
                      jnp.float32)
@@ -118,7 +136,7 @@ def main(argv=None):
     # throughput is simply batch/dt regardless of how many devices exist
     print(json.dumps({
         "metric": f"serving images/sec/chip (jax.export artifact, "
-                  f"{args.arch} b={args.batch} {S}px bf16, argmax decode "
+                  f"{label} b={args.batch} {S}px bf16, argmax decode "
                   f"included)",
         "value": round(args.batch / dt, 2),
         "unit": "images/sec/chip",
